@@ -1,0 +1,83 @@
+"""Typed training contracts (JAX counterpart of
+`sbi/inference/trainers/_contracts.py:22-215`)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+
+@dataclass
+class TrainConfig:
+    """Validated hyperparameters for the training loop.
+
+    Defaults match Appendix B: batch 200 / lr 5e-4 / val 0.1 / patience 20 /
+    clip 5.0 (ref `_contracts.py:48-92`, `npe_base.py:244-250`).
+    """
+
+    training_batch_size: int = 200
+    learning_rate: float = 5e-4
+    validation_fraction: float = 0.1
+    stop_after_epochs: int = 20
+    max_num_epochs: int = 2**31 - 1
+    clip_max_norm: Optional[float] = 5.0
+    resume_training: bool = False
+    retrain_from_scratch: bool = False
+    show_train_summary: bool = False
+
+    def __post_init__(self):
+        if self.training_batch_size <= 0:
+            raise ValueError("training_batch_size must be positive.")
+        if not (0.0 < self.validation_fraction < 1.0):
+            raise ValueError("validation_fraction must be in (0, 1).")
+        if self.learning_rate <= 0:
+            raise ValueError("learning_rate must be positive.")
+        if self.stop_after_epochs <= 0:
+            raise ValueError("stop_after_epochs must be positive.")
+        if self.max_num_epochs <= 0:
+            raise ValueError("max_num_epochs must be positive.")
+        if self.clip_max_norm is not None and self.clip_max_norm <= 0:
+            raise ValueError("clip_max_norm must be positive or None.")
+
+
+@dataclass
+class StartIndexContext:
+    """Context for choosing which rounds' data to train on (ref `:22`)."""
+
+    start_idx: int = 0
+    discard_prior_samples: bool = False
+    force_first_round_loss: bool = False
+
+
+@dataclass
+class LossArgsNPE:
+    proposal: Any = None
+    calibration_kernel: Optional[Callable] = None
+    force_first_round_loss: bool = False
+
+
+@dataclass
+class LossArgsNRE:
+    num_atoms: int = 10
+
+
+@dataclass
+class LossArgsNRE_A:
+    num_atoms: int = 2
+
+
+@dataclass
+class LossArgsNRE_C:
+    num_classes: int = 5
+    gamma: float = 1.0
+
+
+@dataclass
+class LossArgsBNRE:
+    num_atoms: int = 2
+    regularization_strength: float = 100.0
+
+
+@dataclass
+class LossArgsVF:
+    times_batch: int = 1

@@ -1,0 +1,367 @@
+"""NeuralInference: abstract trainer with the jit-compiled training loop.
+
+JAX counterpart of `sbi/inference/trainers/base.py:175-1360`:
+  - roundwise data buffers (`_theta_roundwise` etc., ref `:216-223`)
+  - train/val split + epoch loop (`get_dataloaders` `:413-477`,
+    `_train_epoch` `:1056-1099`)
+  - early stopping on val loss with best-params restore (`_converged`
+    `:1160-1190`)
+  - `build_posterior` dispatch (`:479-975`)
+  - `infer()` one-shot pipeline (`:86-172`)
+
+TPU-first design: each *epoch* is ONE jitted XLA program — a `lax.scan` over
+shuffled batches of on-device simulation buffers, with Adam + global-norm
+clipping fused in. The host only sees one scalar (val loss) per epoch for the
+early-stopping decision. Best-params snapshots are functional copies (no
+state_dict deepcopy).
+"""
+
+from __future__ import annotations
+
+import copy
+import math
+import pickle
+import time
+import warnings
+from abc import ABC, abstractmethod
+from typing import Any, Callable, Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ...utils.sbiutils import (
+    handle_invalid_x,
+    next_key,
+    seed_all_backends,
+    warn_on_invalid_x,
+)
+from ...utils.tracking import InMemoryTracker, Tracker
+from ._contracts import TrainConfig
+
+Array = jax.Array
+
+
+def infer(
+    simulator: Callable,
+    prior,
+    method: Union[str, type],
+    num_simulations: int,
+    num_workers: int = 1,
+    init_kwargs: Optional[Dict] = None,
+    train_kwargs: Optional[Dict] = None,
+    build_posterior_kwargs: Optional[Dict] = None,
+    key=None,
+):
+    """One-shot convenience pipeline (ref `trainers/base.py:86-172`)."""
+    from ...utils.simulation_utils import simulate_for_sbi
+    from ...utils.user_input_checks import process_prior, process_simulator
+
+    from . import METHOD_REGISTRY
+
+    if isinstance(method, str):
+        try:
+            method_fun = METHOD_REGISTRY[method.upper()]
+        except KeyError:
+            raise NameError(f"Method not available. Got {method}.")
+    else:
+        method_fun = method
+
+    prior, _, _ = process_prior(prior)
+    simulator = process_simulator(simulator, prior, False)
+    inference = method_fun(prior=prior, **(init_kwargs or {}))
+    theta, x = simulate_for_sbi(
+        simulator, prior, num_simulations, num_workers=num_workers, key=key
+    )
+    inference = inference.append_simulations(theta, x)
+    inference.train(**(train_kwargs or {}))
+    return inference.build_posterior(**(build_posterior_kwargs or {}))
+
+
+class NeuralInference(ABC):
+    """Abstract base for all trainers."""
+
+    def __init__(
+        self,
+        prior=None,
+        device: str = "tpu",
+        logging_level: Union[int, str] = "WARNING",
+        summary_writer: Optional[Tracker] = None,
+        tracker: Optional[Tracker] = None,
+        show_progress_bars: bool = True,
+    ):
+        self._prior = prior
+        self._device = device
+        self._show_progress_bars = show_progress_bars
+        self._tracker = tracker or summary_writer or InMemoryTracker()
+
+        # Roundwise data store (ref base.py:216-223).
+        self._theta_roundwise: list = []
+        self._x_roundwise: list = []
+        self._prior_masks: list = []
+        self._data_round_index: list = []
+        self._proposal_roundwise: list = []
+
+        self._neural_net = None
+        self._opt_state = None
+        self._epoch = 0
+        self._round = 0
+        self._val_loss = float("inf")
+        self._best_val_loss = float("inf")
+        self._epochs_since_last_improvement = 0
+        self._best_params = None
+        self._train_indices: Optional[np.ndarray] = None
+        self._val_indices: Optional[np.ndarray] = None
+
+        self._summary: Dict[str, list] = dict(
+            epochs_trained=[],
+            best_validation_loss=[],
+            validation_loss=[],
+            training_loss=[],
+            epoch_durations_sec=[],
+        )
+
+    # ------------------------------------------------------------------ data
+    def get_simulations(self, starting_round: int = 0):
+        """Concatenate data from rounds >= starting_round (ref base.py:350)."""
+        take = [
+            i
+            for i, r in enumerate(self._data_round_index)
+            if r >= starting_round
+        ]
+        theta = jnp.concatenate([self._theta_roundwise[i] for i in take])
+        x = jnp.concatenate([self._x_roundwise[i] for i in take])
+        masks = jnp.concatenate([self._prior_masks[i] for i in take])
+        return theta, x, masks
+
+    def _append_to_data_store(self, theta, x, prior_mask, data_round: int):
+        self._theta_roundwise.append(jnp.asarray(theta, jnp.float32))
+        self._x_roundwise.append(jnp.asarray(x, jnp.float32))
+        self._prior_masks.append(jnp.asarray(prior_mask, jnp.float32))
+        self._data_round_index.append(data_round)
+
+    @staticmethod
+    def _validate_theta_and_x(theta, x, exclude_invalid_x=True, algorithm="NPE"):
+        theta = jnp.asarray(theta, jnp.float32)
+        x = jnp.asarray(x, jnp.float32)
+        assert theta.shape[0] == x.shape[0], (
+            "Number of parameter sets and simulations must match."
+        )
+        is_valid, num_nans, num_infs = handle_invalid_x(x, exclude_invalid_x)
+        warn_on_invalid_x(num_nans, num_infs, exclude_invalid_x)
+        # Also drop non-finite theta rows.
+        theta_valid = jnp.isfinite(theta.reshape(theta.shape[0], -1)).all(axis=1)
+        keep = jnp.asarray(is_valid) & theta_valid
+        return theta[keep], x[keep]
+
+    # ---------------------------------------------------------------- splits
+    def get_dataloaders(
+        self,
+        start_idx: int = 0,
+        training_batch_size: int = 200,
+        validation_fraction: float = 0.1,
+        resume_training: bool = False,
+        key=None,
+    ):
+        """Return (theta, x, masks, train_idx, val_idx): the JAX equivalent of
+        the reference's SubsetRandomSampler loaders (ref base.py:413-477)."""
+        theta, x, masks = self.get_simulations(start_idx)
+        n = theta.shape[0]
+        num_val = int(math.floor(validation_fraction * n))
+        num_train = n - num_val
+        assert num_train > 0, "Not enough training data."
+        if resume_training and self._train_indices is not None:
+            train_idx, val_idx = self._train_indices, self._val_indices
+        else:
+            perm = np.asarray(
+                jax.random.permutation(next_key(key), n)
+            )
+            train_idx, val_idx = perm[:num_train], perm[num_train:]
+            self._train_indices, self._val_indices = train_idx, val_idx
+        return theta, x, masks, train_idx, val_idx
+
+    # ------------------------------------------------------------- training
+    def _run_training_loop(
+        self,
+        loss_fn: Callable,
+        cfg: TrainConfig,
+        start_idx: int = 0,
+        key=None,
+    ):
+        """Early-stopped Adam loop; one XLA program per epoch.
+
+        ``loss_fn(params, key, theta_b, x_b, masks_b) -> (B,) losses``.
+        """
+        key = next_key(key)
+        theta, x, masks, train_idx, val_idx = self.get_dataloaders(
+            start_idx,
+            cfg.training_batch_size,
+            cfg.validation_fraction,
+            cfg.resume_training,
+            key=key,
+        )
+        est = self._neural_net
+        params = est.params
+
+        batch_size = min(cfg.training_batch_size, len(train_idx))
+        n_batches = max(1, len(train_idx) // batch_size)
+        tx = self._make_optimizer(cfg)
+        if cfg.resume_training and self._opt_state is not None:
+            opt_state = self._opt_state
+        else:
+            opt_state = tx.init(params)
+            self._epoch = 0
+
+        train_idx_j = jnp.asarray(train_idx)
+        val_idx_j = jnp.asarray(val_idx)
+
+        @jax.jit
+        def epoch_fn(params, opt_state, epoch_key, theta, x, masks):
+            perm = jax.random.permutation(epoch_key, train_idx_j.shape[0])
+            idx = train_idx_j[perm[: n_batches * batch_size]].reshape(
+                n_batches, batch_size
+            )
+            keys = jax.random.split(jax.random.fold_in(epoch_key, 1), n_batches)
+
+            def body(carry, inp):
+                p, s = carry
+                bidx, k = inp
+                tb, xb, mb = theta[bidx], x[bidx], masks[bidx]
+
+                def mean_loss(p_):
+                    return loss_fn(p_, k, tb, xb, mb).mean()
+
+                loss, g = jax.value_and_grad(mean_loss)(p)
+                updates, s = tx.update(g, s, p)
+                p = optax.apply_updates(p, updates)
+                return (p, s), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (idx, keys)
+            )
+            return params, opt_state, losses.mean()
+
+        @jax.jit
+        def val_fn(params, val_key, theta, x, masks):
+            return loss_fn(
+                params, val_key, theta[val_idx_j], x[val_idx_j], masks[val_idx_j]
+            ).mean()
+
+        # Reset convergence tracking for this train() call.
+        self._best_val_loss = float("inf")
+        self._epochs_since_last_improvement = 0
+        self._best_params = params
+
+        epoch_start = self._epoch
+        while self._epoch <= cfg.max_num_epochs:
+            t0 = time.time()
+            key, k_epoch, k_val = jax.random.split(key, 3)
+            params, opt_state, train_loss = epoch_fn(
+                params, opt_state, k_epoch, theta, x, masks
+            )
+            val_loss = float(val_fn(params, k_val, theta, x, masks))
+            self._epoch += 1
+            self._val_loss = val_loss
+            self._summary["training_loss"].append(float(train_loss))
+            self._summary["validation_loss"].append(val_loss)
+            self._summary["epoch_durations_sec"].append(time.time() - t0)
+            self._tracker.log_metric("train_loss", float(train_loss), self._epoch)
+            self._tracker.log_metric("validation_loss", val_loss, self._epoch)
+
+            if self._converged(val_loss, params, cfg.stop_after_epochs):
+                break
+            if self._epoch - epoch_start >= cfg.max_num_epochs:
+                warnings.warn(
+                    "Maximum number of epochs reached, but network has not yet "
+                    "fully converged."
+                )
+                break
+
+        # Restore best params (ref base.py:1178-1188).
+        params = self._best_params
+        est.params = params
+        self._opt_state = opt_state
+        self._summary["epochs_trained"].append(self._epoch)
+        self._summary["best_validation_loss"].append(self._best_val_loss)
+        self._tracker.flush()
+        if cfg.show_train_summary:
+            print(self._describe_round(self._round, self._summary))
+        return est
+
+    def _make_optimizer(self, cfg: TrainConfig):
+        chain = []
+        if cfg.clip_max_norm is not None:
+            chain.append(optax.clip_by_global_norm(cfg.clip_max_norm))
+        chain.append(optax.adam(cfg.learning_rate))
+        return optax.chain(*chain)
+
+    def _converged(self, val_loss: float, params, stop_after_epochs: int) -> bool:
+        """Best-val tracking + snapshot (ref base.py:1160-1190)."""
+        if val_loss < self._best_val_loss:
+            self._best_val_loss = val_loss
+            self._epochs_since_last_improvement = 0
+            self._best_params = params
+        else:
+            self._epochs_since_last_improvement += 1
+        return self._epochs_since_last_improvement > stop_after_epochs - 1
+
+    @staticmethod
+    def _describe_round(round_: int, summary: Dict) -> str:
+        epochs = summary["epochs_trained"][-1] if summary["epochs_trained"] else 0
+        best = (
+            summary["best_validation_loss"][-1]
+            if summary["best_validation_loss"]
+            else float("nan")
+        )
+        return (
+            f"-------------------------\n"
+            f"||||| ROUND {round_ + 1} STATS |||||:\n"
+            f"-------------------------\n"
+            f"Epochs trained: {epochs}\n"
+            f"Best validation performance: {best:.4f}\n"
+            f"-------------------------\n"
+        )
+
+    @property
+    def summary(self):
+        return self._summary
+
+    # ------------------------------------------------------------- abstract
+    @abstractmethod
+    def append_simulations(self, theta, x, **kwargs) -> "NeuralInference": ...
+
+    @abstractmethod
+    def train(self, **kwargs): ...
+
+    @abstractmethod
+    def build_posterior(self, **kwargs): ...
+
+    # ------------------------------------------------------------- pickling
+    def __getstate__(self):
+        """Excise the tracker like the reference (ref base.py:1311-1346)."""
+        state = self.__dict__.copy()
+        state["_tracker"] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._tracker = InMemoryTracker()
+
+    def save(self, path: str):
+        with open(path, "wb") as f:
+            pickle.dump(self, f)
+
+    @staticmethod
+    def load(path: str):
+        with open(path, "rb") as f:
+            return pickle.load(f)
+
+
+def check_if_proposal_has_default_x(proposal):
+    """Ref `trainers/base.py` helper of the same name."""
+    if hasattr(proposal, "default_x") and proposal.default_x is None:
+        raise ValueError(
+            "`proposal.default_x` is None, i.e. there is no `x_o` for training. "
+            "Set it with `posterior.set_default_x(x_o)`."
+        )

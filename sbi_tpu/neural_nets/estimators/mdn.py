@@ -1,0 +1,199 @@
+"""Mixture-density network estimator (MoG head).
+
+JAX counterpart of `sbi/neural_nets/estimators/mixture_density_estimator.py:27,304`
+and the `MoG` container (`sbi/neural_nets/estimators/mog.py:22`). The net maps
+an (embedded) condition to mixture logits, component means, and Cholesky
+factors of component *precisions* — same parameterization as the reference,
+which NPE-A/NPE-C exploit for closed-form proposal corrections.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import tree_util
+
+from .base import ConditionalDensityEstimator
+
+Array = jax.Array
+
+_LOG_2PI = jnp.log(2.0 * jnp.pi)
+
+
+# ---------------------------------------------------------------------------
+# MoG container (pytree) — ref `mog.py:22`
+# ---------------------------------------------------------------------------
+
+
+@tree_util.register_pytree_node_class
+@dataclass
+class MoG:
+    """Batched mixture of Gaussians with precision-Cholesky parameterization.
+
+    logits: (B, K); means: (B, K, D); precision_chols: (B, K, D, D) lower.
+    """
+
+    logits: Array
+    means: Array
+    precision_chols: Array
+
+    def tree_flatten(self):
+        return (self.logits, self.means, self.precision_chols), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def precisions(self) -> Array:
+        L = self.precision_chols
+        return L @ jnp.swapaxes(L, -1, -2)
+
+    def log_prob(self, theta: Array) -> Array:
+        """theta: (B, D) -> (B,)."""
+        D = self.means.shape[-1]
+        log_w = jax.nn.log_softmax(self.logits, axis=-1)
+        diff = theta[:, None, :] - self.means  # (B, K, D)
+        # y = L^T diff  =>  diff^T P diff = ||y||^2
+        y = jnp.einsum("bkij,bkj->bki", jnp.swapaxes(self.precision_chols, -1, -2), diff)
+        quad = jnp.sum(y**2, axis=-1)
+        half_logdet = jnp.sum(
+            jnp.log(jnp.diagonal(self.precision_chols, axis1=-2, axis2=-1)), axis=-1
+        )
+        log_comp = half_logdet - 0.5 * (D * _LOG_2PI + quad)
+        return jax.scipy.special.logsumexp(log_w + log_comp, axis=-1)
+
+    def sample(self, key: Array, num_samples: int) -> Array:
+        """-> (num_samples, B, D)."""
+        B, K, D = self.means.shape
+        kc, kn = jax.random.split(key)
+        comps = jax.random.categorical(
+            kc, self.logits, axis=-1, shape=(num_samples, B)
+        )  # (S, B)
+        means = jnp.take_along_axis(
+            self.means[None], comps[..., None, None], axis=2
+        )[:, :, 0, :]  # (S, B, D)
+        chols = jnp.take_along_axis(
+            self.precision_chols[None], comps[..., None, None, None], axis=2
+        )[:, :, 0]  # (S, B, D, D)
+        eps = jax.random.normal(kn, (num_samples, B, D))
+        # Cov = P^-1 = L^-T L^-1 => sample = mean + L^-T eps
+        LT = jnp.swapaxes(chols, -1, -2)
+        delta = jax.scipy.linalg.solve_triangular(LT, eps[..., None], lower=False)[..., 0]
+        return means + delta
+
+    @staticmethod
+    def product(a: "MoG", b: "MoG") -> "MoG":
+        """Pairwise product of two MoGs (up to normalization), used by the
+        NPE-C non-atomic closed form (`npe_c.py:436-721` Appendix A.1)."""
+        Pa, Pb = a.precisions, b.precisions
+        B, Ka, D = a.means.shape
+        Kb = b.means.shape[1]
+        P = Pa[:, :, None] + Pb[:, None, :]  # (B, Ka, Kb, D, D)
+        cov = jnp.linalg.inv(P)
+        eta = (
+            jnp.einsum("bkij,bkj->bki", Pa, a.means)[:, :, None]
+            + jnp.einsum("bkij,bkj->bki", Pb, b.means)[:, None, :]
+        )
+        means = jnp.einsum("bklij,bklj->bkli", cov, eta)
+        # log normalization of each pairwise product
+        def comp_logZ(P_, m_, eta_, mean_):
+            _, logdet = jnp.linalg.slogdet(P_)
+            quad = (
+                jnp.einsum("...i,...i->...", eta_, mean_)
+            )
+            return 0.5 * (logdet - quad)
+
+        # weights: w_a * w_b * N(m_a; m_b, Pa^-1 + Pb^-1)
+        log_wa = jax.nn.log_softmax(a.logits, -1)
+        log_wb = jax.nn.log_softmax(b.logits, -1)
+        cov_sum = jnp.linalg.inv(Pa)[:, :, None] + jnp.linalg.inv(Pb)[:, None, :]
+        diff = a.means[:, :, None] - b.means[:, None, :]
+        sol = jnp.linalg.solve(cov_sum, diff[..., None])[..., 0]
+        quad = jnp.einsum("bkli,bkli->bkl", diff, sol)
+        _, logdet_cs = jnp.linalg.slogdet(cov_sum)
+        log_n = -0.5 * (D * _LOG_2PI + logdet_cs + quad)
+        logits = (log_wa[:, :, None] + log_wb[:, None, :] + log_n).reshape(B, Ka * Kb)
+        P_flat = P.reshape(B, Ka * Kb, D, D)
+        means_flat = means.reshape(B, Ka * Kb, D)
+        chol = jnp.linalg.cholesky(P_flat)
+        return MoG(logits, means_flat, chol)
+
+
+# ---------------------------------------------------------------------------
+# Flax module
+# ---------------------------------------------------------------------------
+
+
+class MDNModule(nn.Module):
+    """Condition -> MoG parameters. Hidden MLP + (logits, means, chol) heads."""
+
+    theta_dim: int
+    num_components: int = 10
+    hidden_features: int = 50
+    num_layers: int = 2
+    embedding_net: Optional[nn.Module] = None
+
+    @nn.compact
+    def __call__(self, condition: Array) -> Tuple[Array, Array, Array]:
+        h = condition
+        if self.embedding_net is not None:
+            h = self.embedding_net(h)
+        h = h.reshape((h.shape[0], -1))
+        for _ in range(self.num_layers):
+            h = nn.relu(nn.Dense(self.hidden_features)(h))
+        K, D = self.num_components, self.theta_dim
+        logits = nn.Dense(K)(h)
+        means = nn.Dense(K * D)(h).reshape(-1, K, D)
+        # Cholesky of precision: positive diagonal via softplus + eps.
+        diag_raw = nn.Dense(K * D, bias_init=nn.initializers.zeros)(h).reshape(-1, K, D)
+        diag = jax.nn.softplus(diag_raw) + 1e-4
+        n_off = D * (D - 1) // 2
+        B = h.shape[0]
+        if n_off > 0:
+            off = nn.Dense(K * n_off, kernel_init=nn.initializers.zeros)(h).reshape(
+                -1, K, n_off
+            )
+            tril = jnp.zeros((B, K, D, D))
+            idx = jnp.tril_indices(D, -1)
+            tril = tril.at[:, :, idx[0], idx[1]].set(off)
+        else:
+            tril = jnp.zeros((B, K, D, D))
+        eye = jnp.eye(D)
+        chol = tril + diag[..., None] * eye
+        return logits, means, chol
+
+
+# ---------------------------------------------------------------------------
+# Estimator wrapper
+# ---------------------------------------------------------------------------
+
+
+class MixtureDensityEstimator(ConditionalDensityEstimator):
+    """MoG conditional density estimator (ref mixture_density_estimator.py:27)."""
+
+    def get_mixture_fn(self, params, condition: Array) -> MoG:
+        """Pure: z-scored condition -> MoG in the *z-scored theta* space."""
+        logits, means, chols = self.net.apply(params, condition)
+        return MoG(logits, means, chols)
+
+    def get_uncorrected_mog(self, condition: Array) -> MoG:
+        """MoG in z-space for a raw condition (ref `:304`), used by NPE-A/C."""
+        zc = self._embed_condition(jnp.atleast_2d(condition))
+        return self.get_mixture_fn(self.params, zc)
+
+    def _log_prob_fn(self, params, input: Array, condition: Array) -> Array:
+        mog = self.get_mixture_fn(params, condition)
+        return mog.log_prob(input)
+
+    def _sample_fn(self, params, key, num_samples: int, condition: Array) -> Array:
+        mog = self.get_mixture_fn(params, condition)
+        return mog.sample(key, num_samples)
+
+
+# Alias matching the reference's lower-level name.
+MultivariateGaussianMDN = MixtureDensityEstimator

@@ -1,0 +1,341 @@
+"""Flow builders (in-repo replacements for the nflows/zuko builders at
+`sbi/neural_nets/net_builders/flow.py:330-456,459-1170`).
+
+Every builder takes data batches, infers shapes, prepends z-scoring, and
+returns a FlowEstimator. Defaults match Appendix B of the survey
+(NSF: hidden 50 / 5 transforms / 10 bins / tail 3.0 / 2 blocks;
+MAF: 50 / 5 / 2).
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...utils.sbiutils import next_key, standardizing_transform
+from ..estimators.flows import (
+    FlowEstimator,
+    FlowModule,
+    MADEMoGModule,
+    UnconditionalFlowEstimator,
+)
+
+
+def _transforms_for(batch, z_score):
+    if z_score in (None, "none", False):
+        return None
+    return standardizing_transform(batch, structured=(z_score == "structured"))
+
+
+def _alternating_mask(dim: int, even: bool) -> np.ndarray:
+    mask = np.arange(dim) % 2 == 0
+    return mask if even else ~mask
+
+
+def _build_flow_estimator(
+    batch_theta,
+    batch_x,
+    layer_configs,
+    z_score_theta="independent",
+    z_score_x="independent",
+    embedding_net=None,
+    key=None,
+):
+    batch_theta = jnp.asarray(batch_theta, jnp.float32)
+    batch_x = jnp.asarray(batch_x, jnp.float32)
+    dim = batch_theta.shape[-1]
+
+    module = FlowModule(
+        dim=dim,
+        layer_configs=tuple(layer_configs),
+        embedding_net=embedding_net,
+    )
+    key = next_key(key)
+    params = module.init(key, batch_theta[:2], batch_x[:2])
+    return FlowEstimator(
+        net=module,
+        params=params,
+        input_shape=(dim,),
+        condition_shape=tuple(batch_x.shape[1:]),
+        input_transform=_transforms_for(batch_theta, z_score_theta),
+        condition_transform=_transforms_for(batch_x, z_score_x),
+    )
+
+
+# ---------------------------------------------------------------------------
+# nflows-equivalent builders
+# ---------------------------------------------------------------------------
+
+
+def build_maf(
+    batch_theta,
+    batch_x,
+    z_score_theta="independent",
+    z_score_x="independent",
+    hidden_features: int = 50,
+    num_transforms: int = 5,
+    num_blocks: int = 2,
+    embedding_net=None,
+    key=None,
+    **kwargs,
+):
+    """MAF: [affine autoregressive + reverse permutation] x num_transforms."""
+    dim = jnp.asarray(batch_theta).shape[-1]
+    configs = []
+    for _ in range(num_transforms):
+        configs.append(
+            ("maf", dict(hidden_features=hidden_features, num_blocks=num_blocks))
+        )
+        if dim > 1:
+            configs.append(("permutation", dict(perm=tuple(range(dim - 1, -1, -1)))))
+    return _build_flow_estimator(
+        batch_theta, batch_x, configs, z_score_theta, z_score_x, embedding_net, key
+    )
+
+
+def build_maf_rqs(
+    batch_theta,
+    batch_x,
+    z_score_theta="independent",
+    z_score_x="independent",
+    hidden_features: int = 50,
+    num_transforms: int = 5,
+    num_blocks: int = 2,
+    num_bins: int = 10,
+    tail_bound: float = 3.0,
+    embedding_net=None,
+    key=None,
+    **kwargs,
+):
+    """MAF with autoregressive RQ-spline transforms."""
+    dim = jnp.asarray(batch_theta).shape[-1]
+    configs = []
+    for _ in range(num_transforms):
+        configs.append(
+            (
+                "rqs_ar",
+                dict(
+                    hidden_features=hidden_features,
+                    num_blocks=num_blocks,
+                    num_bins=num_bins,
+                    tail_bound=tail_bound,
+                ),
+            )
+        )
+        if dim > 1:
+            configs.append(("permutation", dict(perm=tuple(range(dim - 1, -1, -1)))))
+    return _build_flow_estimator(
+        batch_theta, batch_x, configs, z_score_theta, z_score_x, embedding_net, key
+    )
+
+
+def build_nsf(
+    batch_theta,
+    batch_x,
+    z_score_theta="independent",
+    z_score_x="independent",
+    hidden_features: int = 50,
+    num_transforms: int = 5,
+    num_blocks: int = 2,
+    num_bins: int = 10,
+    tail_bound: float = 3.0,
+    embedding_net=None,
+    key=None,
+    **kwargs,
+):
+    """NSF: RQ-spline coupling + LU-linear, alternating masks
+    (ref `net_builders/flow.py:330-456`). For 1-D theta the reference falls
+    back to an autoregressive spline — so do we."""
+    dim = int(jnp.asarray(batch_theta).shape[-1])
+    configs = []
+    if dim == 1:
+        for _ in range(num_transforms):
+            configs.append(
+                (
+                    "rqs_ar",
+                    dict(
+                        hidden_features=hidden_features,
+                        num_blocks=num_blocks,
+                        num_bins=num_bins,
+                        tail_bound=tail_bound,
+                    ),
+                )
+            )
+    else:
+        for i in range(num_transforms):
+            mask = _alternating_mask(dim, even=(i % 2 == 0))
+            configs.append(
+                (
+                    "rqs_coupling",
+                    dict(
+                        mask=tuple(bool(m) for m in mask),
+                        hidden_features=hidden_features,
+                        num_blocks=num_blocks,
+                        num_bins=num_bins,
+                        tail_bound=tail_bound,
+                    ),
+                )
+            )
+            configs.append(("lu_linear", {}))
+    return _build_flow_estimator(
+        batch_theta, batch_x, configs, z_score_theta, z_score_x, embedding_net, key
+    )
+
+
+def build_made(
+    batch_theta,
+    batch_x,
+    z_score_theta="independent",
+    z_score_x="independent",
+    hidden_features: int = 50,
+    num_mixture_components: int = 10,
+    num_blocks: int = 2,
+    embedding_net=None,
+    key=None,
+    **kwargs,
+):
+    """MADE with mixture-of-Gaussians head (nflows MADEMoG equivalent)."""
+    batch_theta = jnp.asarray(batch_theta, jnp.float32)
+    batch_x = jnp.asarray(batch_x, jnp.float32)
+    dim = batch_theta.shape[-1]
+    module = MADEMoGModule(
+        dim=dim,
+        num_mixture_components=num_mixture_components,
+        hidden_features=hidden_features,
+        num_blocks=num_blocks,
+        embedding_net=embedding_net,
+    )
+    params = module.init(next_key(key), batch_theta[:2], batch_x[:2])
+    return FlowEstimator(
+        net=module,
+        params=params,
+        input_shape=(dim,),
+        condition_shape=tuple(batch_x.shape[1:]),
+        input_transform=_transforms_for(batch_theta, z_score_theta),
+        condition_transform=_transforms_for(batch_x, z_score_x),
+    )
+
+
+# ---------------------------------------------------------------------------
+# zuko-equivalent builders. NICE/MAF/NSF/NCSF map onto native layer types;
+# the exotic ones (gf, sospf, naf, unaf, bpf) currently map to the closest
+# spline-autoregressive equivalent (same capability class: universal
+# monotonic autoregressive flows) — faithful re-implementations are tracked
+# for a later round.
+# ---------------------------------------------------------------------------
+
+
+def build_zuko_nice(
+    batch_theta,
+    batch_x,
+    z_score_theta="independent",
+    z_score_x="independent",
+    hidden_features: int = 50,
+    num_transforms: int = 5,
+    num_blocks: int = 2,
+    embedding_net=None,
+    key=None,
+    **kwargs,
+):
+    dim = int(jnp.asarray(batch_theta).shape[-1])
+    configs = []
+    for i in range(num_transforms):
+        mask = _alternating_mask(max(dim, 2), even=(i % 2 == 0))[:dim]
+        if mask.all() or not mask.any():  # dim == 1 degenerate
+            mask = np.array([True])
+        configs.append(
+            (
+                "additive_coupling",
+                dict(
+                    mask=tuple(bool(m) for m in mask),
+                    hidden_features=hidden_features,
+                    num_blocks=num_blocks,
+                ),
+            )
+        )
+        configs.append(("lu_linear", {}))
+    return _build_flow_estimator(
+        batch_theta, batch_x, configs, z_score_theta, z_score_x, embedding_net, key
+    )
+
+
+def build_zuko_maf(*args, **kwargs):
+    return build_maf(*args, **kwargs)
+
+
+def build_zuko_nsf(*args, **kwargs):
+    """zuko's NSF is autoregressive-spline based."""
+    return build_maf_rqs(*args, **kwargs)
+
+
+def build_zuko_ncsf(*args, **kwargs):
+    """Circular splines; approximated by bounded RQ splines for now."""
+    return build_maf_rqs(*args, **kwargs)
+
+
+def _closest_equivalent(name):
+    def builder(*args, **kwargs):
+        warnings.warn(
+            f"build_zuko_{name}: native implementation pending; using an "
+            "autoregressive RQ-spline flow of equivalent capability."
+        )
+        return build_maf_rqs(*args, **kwargs)
+
+    return builder
+
+
+build_zuko_gf = _closest_equivalent("gf")
+build_zuko_sospf = _closest_equivalent("sospf")
+build_zuko_naf = _closest_equivalent("naf")
+build_zuko_unaf = _closest_equivalent("unaf")
+build_zuko_bpf = _closest_equivalent("bpf")
+
+
+# ---------------------------------------------------------------------------
+# Unconditional flow (marginal trainer)
+# ---------------------------------------------------------------------------
+
+
+def build_unconditional_flow(
+    batch_x,
+    model: str = "maf",
+    z_score_x="independent",
+    hidden_features: int = 50,
+    num_transforms: int = 5,
+    num_blocks: int = 2,
+    num_bins: int = 10,
+    key=None,
+    **kwargs,
+):
+    batch_x = jnp.asarray(batch_x, jnp.float32)
+    dim = batch_x.shape[-1]
+    configs = []
+    for i in range(num_transforms):
+        if model in ("maf", "zuko_maf"):
+            configs.append(
+                ("maf", dict(hidden_features=hidden_features, num_blocks=num_blocks))
+            )
+        else:
+            configs.append(
+                (
+                    "rqs_ar",
+                    dict(
+                        hidden_features=hidden_features,
+                        num_blocks=num_blocks,
+                        num_bins=num_bins,
+                    ),
+                )
+            )
+        if dim > 1:
+            configs.append(("permutation", dict(perm=tuple(range(dim - 1, -1, -1)))))
+    module = FlowModule(dim=dim, layer_configs=tuple(configs))
+    params = module.init(next_key(key), batch_x[:2], None)
+    return UnconditionalFlowEstimator(
+        net=module,
+        params=params,
+        input_shape=(dim,),
+        input_transform=_transforms_for(batch_x, z_score_x),
+    )

@@ -1,0 +1,90 @@
+"""NPE integration tests vs analytic posteriors — the canonical correctness
+pattern (counterpart of `tests/linearGaussian_snpe_test.py:57-103`):
+simulate linear-Gaussian, train, sample, C2ST against the closed form,
+assert 0.5 +/- 0.1."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sbi_tpu.inference import NPE
+from sbi_tpu.neural_nets.factory import posterior_nn
+from sbi_tpu.simulators.linear_gaussian import (
+    linear_gaussian,
+    samples_true_posterior_linear_gaussian_uniform_prior,
+    true_posterior_linear_gaussian_mvn_prior,
+)
+from sbi_tpu.utils.distributions import BoxUniform, MultivariateNormal
+from sbi_tpu.utils.metrics import check_c2st
+from sbi_tpu.utils.sbiutils import seed_all_backends
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "num_dim, prior_str, model",
+    [
+        (2, "gaussian", "mdn"),
+        (2, "gaussian", "maf"),
+        (2, "uniform", "maf"),
+        (1, "gaussian", "maf"),
+    ],
+)
+def test_c2st_npe_on_linear_gaussian(num_dim, prior_str, model):
+    seed_all_backends(0)
+    x_o = jnp.zeros((1, num_dim))
+    num_samples = 1000
+    num_simulations = 2500
+    likelihood_shift = -1.0 * jnp.ones(num_dim)
+    likelihood_cov = 0.3 * jnp.eye(num_dim)
+
+    if prior_str == "gaussian":
+        prior = MultivariateNormal(
+            jnp.zeros(num_dim), covariance_matrix=jnp.eye(num_dim)
+        )
+        gt = true_posterior_linear_gaussian_mvn_prior(
+            x_o, likelihood_shift, likelihood_cov, jnp.zeros(num_dim), jnp.eye(num_dim)
+        )
+        target_samples = gt.sample(jax.random.PRNGKey(3), (num_samples,))
+    else:
+        prior = BoxUniform(-2.0 * jnp.ones(num_dim), 2.0 * jnp.ones(num_dim))
+        target_samples = samples_true_posterior_linear_gaussian_uniform_prior(
+            x_o, likelihood_shift, likelihood_cov, prior, num_samples,
+            key=jax.random.PRNGKey(3),
+        )
+
+    theta = prior.sample(jax.random.PRNGKey(0), (num_simulations,))
+    x = linear_gaussian(theta, likelihood_shift, likelihood_cov,
+                        key=jax.random.PRNGKey(1))
+
+    inference = NPE(prior=prior, density_estimator=posterior_nn(model))
+    inference.append_simulations(theta, x).train(training_batch_size=100)
+    posterior = inference.build_posterior().set_default_x(x_o)
+    samples = posterior.sample((num_samples,), key=jax.random.PRNGKey(2))
+    check_c2st(samples, target_samples, alg=f"npe-{model}-{prior_str}")
+
+    # log_prob should be finite on posterior samples and -inf outside prior.
+    lp = posterior.log_prob(samples[:10])
+    assert bool(jnp.isfinite(lp).all())
+    if prior_str == "uniform":
+        outside = 3.0 * jnp.ones((1, num_dim))
+        assert bool(jnp.isneginf(posterior.log_prob(outside)[0]))
+
+
+def test_npe_map():
+    """MAP should land near the analytic posterior mode."""
+    seed_all_backends(0)
+    num_dim = 2
+    x_o = jnp.zeros((1, num_dim))
+    shift = -1.0 * jnp.ones(num_dim)
+    cov = 0.3 * jnp.eye(num_dim)
+    prior = MultivariateNormal(jnp.zeros(num_dim), covariance_matrix=jnp.eye(num_dim))
+    theta = prior.sample(jax.random.PRNGKey(0), (2000,))
+    x = linear_gaussian(theta, shift, cov, key=jax.random.PRNGKey(1))
+    inference = NPE(prior=prior, density_estimator=posterior_nn("mdn"))
+    inference.append_simulations(theta, x).train(training_batch_size=100)
+    posterior = inference.build_posterior().set_default_x(x_o)
+    gt = true_posterior_linear_gaussian_mvn_prior(
+        x_o, shift, cov, jnp.zeros(num_dim), jnp.eye(num_dim)
+    )
+    map_ = posterior.map(num_iter=200, num_init_samples=200, num_to_optimize=50)
+    assert jnp.allclose(map_, gt.mean, atol=0.3), (map_, gt.mean)
