@@ -1,0 +1,80 @@
+"""FMPE/NPSE integration tests (counterpart of
+`tests/linearGaussian_vector_field_test.py`)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sbi_tpu.inference import FMPE, NPSE
+from sbi_tpu.simulators.linear_gaussian import (
+    linear_gaussian,
+    true_posterior_linear_gaussian_mvn_prior,
+)
+from sbi_tpu.utils.distributions import MultivariateNormal
+from sbi_tpu.utils.metrics import check_c2st
+from sbi_tpu.utils.sbiutils import seed_all_backends
+
+
+def _setup(num_simulations=3000):
+    seed_all_backends(0)
+    D = 2
+    shift = -1.0 * jnp.ones(D)
+    cov = 0.3 * jnp.eye(D)
+    x_o = jnp.zeros((1, D))
+    prior = MultivariateNormal(jnp.zeros(D), covariance_matrix=jnp.eye(D))
+    theta = prior.sample(jax.random.PRNGKey(0), (num_simulations,))
+    x = linear_gaussian(theta, shift, cov, key=jax.random.PRNGKey(1))
+    ref = true_posterior_linear_gaussian_mvn_prior(
+        x_o, shift, cov, jnp.zeros(D), jnp.eye(D)
+    ).sample(jax.random.PRNGKey(3), (1000,))
+    return prior, theta, x, x_o, ref
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "make",
+    [
+        lambda prior: FMPE(prior=prior),
+        lambda prior: NPSE(prior=prior, sde_type="vp"),
+        lambda prior: NPSE(prior=prior, sde_type="ve"),
+        lambda prior: NPSE(prior=prior, sde_type="subvp"),
+    ],
+    ids=["fmpe", "npse-vp", "npse-ve", "npse-subvp"],
+)
+def test_c2st_vector_field_on_linear_gaussian(make):
+    prior, theta, x, x_o, ref = _setup()
+    inf = make(prior)
+    inf.append_simulations(theta, x).train(
+        training_batch_size=100, stop_after_epochs=30
+    )
+    posterior = inf.build_posterior()
+    samples = posterior.sample((1000,), x=x_o, key=jax.random.PRNGKey(2))
+    check_c2st(samples, ref, alg=type(inf).__name__, tol=0.12)
+    lp = posterior.log_prob(ref[:20], x=x_o)
+    assert bool(jnp.isfinite(lp).all())
+
+
+def test_vf_single_round_warns_on_proposal():
+    prior, theta, x, x_o, ref = _setup(num_simulations=100)
+    inf = FMPE(prior=prior)
+    with pytest.warns(UserWarning, match="single-round"):
+        inf.append_simulations(theta, x, proposal=object())
+
+
+def test_score_schedule_shapes():
+    from sbi_tpu.neural_nets.net_builders.vector_field_nets import (
+        build_score_estimator,
+    )
+
+    theta = jax.random.normal(jax.random.PRNGKey(0), (64, 3))
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 4))
+    for sde in ["vp", "ve", "subvp"]:
+        est = build_score_estimator(theta, x, sde_type=sde)
+        t = jnp.linspace(est.t_min, est.t_max, 7)
+        assert est.mean_t_fn(t).shape == (7,)
+        assert est.std_fn(t).shape == (7,)
+        assert bool((est.std_fn(t) > 0).all())
+        sc = est.score(theta[:5], x[:5], 0.5)
+        assert sc.shape == (5, 3)
+        loss = est.loss_fn(est.params, theta[:8], x[:8], jax.random.PRNGKey(2))
+        assert loss.shape == (8,)
