@@ -1,0 +1,123 @@
+"""EnsemblePosterior: weighted mixture over N trained posteriors.
+
+JAX counterpart of `sbi/inference/posteriors/ensemble_posterior.py:19,422`
+(EnsemblePosterior + EnsemblePotential).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ...utils.sbiutils import ensure_theta_batched, next_key
+from ..potentials.base_potential import BasePotential
+from .base_posterior import NeuralPosterior
+
+Array = jax.Array
+
+
+class EnsemblePotential(BasePotential):
+    """logsumexp of weighted member potentials (ref `:422`)."""
+
+    allow_iid_x = True
+
+    def __init__(self, potential_fns, weights, prior, x_o=None):
+        self._potentials = list(potential_fns)
+        self._weights = jnp.asarray(weights, jnp.float32)
+        super().__init__(prior, x_o)
+
+    def set_x(self, x_o, x_is_iid=False, **kwargs):
+        for p in self._potentials:
+            p.set_x(x_o, x_is_iid)
+        self._x_o = None if x_o is None else jnp.atleast_2d(
+            jnp.asarray(x_o, jnp.float32)
+        )
+        self.x_is_iid = bool(x_is_iid)
+        return self
+
+    def __call__(self, theta, track_gradients: bool = True):
+        theta = ensure_theta_batched(theta)
+        lps = jnp.stack([p(theta) for p in self._potentials])  # (K, B)
+        logw = jnp.log(self._weights / self._weights.sum())[:, None]
+        return jax.scipy.special.logsumexp(lps + logw, axis=0)
+
+
+class EnsemblePosterior(NeuralPosterior):
+    def __init__(
+        self,
+        posteriors: Sequence[NeuralPosterior],
+        weights: Optional[Sequence[float]] = None,
+        theta_transform=None,
+        device=None,
+    ):
+        self.posteriors = list(posteriors)
+        K = len(self.posteriors)
+        self._weights = jnp.asarray(
+            weights if weights is not None else jnp.full((K,), 1.0 / K), jnp.float32
+        )
+        prior = getattr(self.posteriors[0].potential_fn, "prior", None)
+        potential = EnsemblePotential(
+            [p.potential_fn for p in self.posteriors], self._weights, prior
+        )
+        super().__init__(
+            potential,
+            theta_transform or self.posteriors[0].theta_transform,
+            device,
+        )
+        self._purpose = "EnsemblePosterior: weighted mixture of posteriors."
+
+    @property
+    def weights(self):
+        return self._weights / self._weights.sum()
+
+    def set_default_x(self, x):
+        for p in self.posteriors:
+            p.set_default_x(x)
+        return super().set_default_x(x)
+
+    def sample(self, sample_shape=(), x: Optional[Array] = None, key=None, **kwargs) -> Array:
+        """Draw member index per sample, pass through (ref `:19`)."""
+        key = next_key(key)
+        num = 1
+        for s in sample_shape:
+            num *= int(s)
+        k_idx, k_sub = jax.random.split(key)
+        counts = jax.random.multinomial(
+            k_idx, num, self.weights
+        ) if hasattr(jax.random, "multinomial") else None
+        if counts is None:
+            idx = jax.random.categorical(
+                k_idx, jnp.log(self.weights), shape=(num,)
+            )
+            counts = jnp.bincount(idx, length=len(self.posteriors))
+        outs = []
+        for i, p in enumerate(self.posteriors):
+            n_i = int(counts[i])
+            if n_i > 0:
+                outs.append(
+                    p.sample((n_i,), x=x, key=jax.random.fold_in(k_sub, i), **kwargs)
+                )
+        samples = jnp.concatenate(outs, axis=0)
+        perm = jax.random.permutation(jax.random.fold_in(key, 99), samples.shape[0])
+        return samples[perm].reshape(tuple(sample_shape) + samples.shape[1:])
+
+    def sample_batched(self, sample_shape, x, key=None, **kwargs):
+        key = next_key(key)
+        x = jnp.atleast_2d(jnp.asarray(x, jnp.float32))
+        outs = [
+            self.sample(sample_shape, x=x[b][None], key=jax.random.fold_in(key, b), **kwargs)
+            for b in range(x.shape[0])
+        ]
+        return jnp.stack(outs, axis=len(sample_shape))
+
+    def log_prob(self, theta, x=None, individually: bool = False, **kwargs):
+        theta = ensure_theta_batched(theta)
+        lps = jnp.stack(
+            [p.log_prob(theta, x=x, **kwargs) for p in self.posteriors]
+        )  # (K, B)
+        if individually:
+            return lps
+        logw = jnp.log(self.weights)[:, None]
+        return jax.scipy.special.logsumexp(lps + logw, axis=0)
