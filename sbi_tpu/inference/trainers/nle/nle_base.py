@@ -126,6 +126,7 @@ class LikelihoodEstimatorTrainer(NeuralInference):
         prior = prior if prior is not None else self._prior
         assert prior is not None, "NLE needs a prior to build a posterior."
         estimator = density_estimator if density_estimator is not None else self._neural_net
+        estimator = estimator.snapshot() if hasattr(estimator, "snapshot") else estimator
         if estimator is None:
             raise ValueError("Run `.train()` first or pass a density_estimator.")
 

@@ -191,6 +191,7 @@ class PosteriorEstimatorTrainer(NeuralInference):
 
         prior = prior if prior is not None else self._prior
         estimator = density_estimator if density_estimator is not None else self._neural_net
+        estimator = estimator.snapshot() if hasattr(estimator, "snapshot") else estimator
         if estimator is None:
             raise ValueError("Run `.train()` first or pass a density_estimator.")
 

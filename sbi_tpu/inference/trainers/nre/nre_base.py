@@ -138,6 +138,7 @@ class RatioEstimatorTrainer(NeuralInference):
         prior = prior if prior is not None else self._prior
         assert prior is not None, "NRE needs a prior to build a posterior."
         estimator = ratio_estimator or density_estimator or self._neural_net
+        estimator = estimator.snapshot() if hasattr(estimator, "snapshot") else estimator
         if estimator is None:
             raise ValueError("Run `.train()` first or pass a ratio_estimator.")
         potential_fn, theta_transform = ratio_estimator_based_potential(

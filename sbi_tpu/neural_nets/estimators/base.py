@@ -62,6 +62,18 @@ class ConditionalEstimator:
     def loss(self, input: Array, condition: Array) -> Array:
         return self.loss_fn(self.params, input, condition)
 
+    def snapshot(self) -> "ConditionalEstimator":
+        """Shallow copy with the current params pinned. Trainers keep
+        mutating their estimator's params across rounds; posteriors must
+        hold a frozen view (the reference deepcopies in build_posterior,
+        `trainers/base.py:522-524`). Params are immutable jax arrays, so a
+        shallow copy + rebinding suffices."""
+        import copy
+
+        snap = copy.copy(self)
+        snap.params = self.params
+        return snap
+
     def _check_condition_shape(self, condition: Array) -> None:
         n = len(self.condition_shape)
         if tuple(condition.shape[-n:]) != self.condition_shape:

@@ -106,6 +106,13 @@ class RatioEstimator:
     def log_ratio(self, theta: Array, x: Array) -> Array:
         return self.log_ratio_fn(self.params, theta, x)
 
+    def snapshot(self) -> "RatioEstimator":
+        import copy
+
+        snap = copy.copy(self)
+        snap.params = self.params
+        return snap
+
     # torch-API names
     def forward(self, theta, x):
         return self.log_ratio(theta, x)
