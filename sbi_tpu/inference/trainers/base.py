@@ -58,7 +58,7 @@ def infer(
     from ...utils.simulation_utils import simulate_for_sbi
     from ...utils.user_input_checks import process_prior, process_simulator
 
-    from . import METHOD_REGISTRY
+    from .. import METHOD_REGISTRY
 
     if isinstance(method, str):
         try:
