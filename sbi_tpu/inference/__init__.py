@@ -50,6 +50,7 @@ def __getattr__(name):
         "NPE_B": ".trainers.npe.npe_b",
         "SNPE_B": ".trainers.npe.npe_b",
         "MNPE": ".trainers.npe.mnpe",
+        "NPE_PFN": ".trainers.npe.npe_pfn",
         "FMPE": ".trainers.vfpe.fmpe",
         "NPSE": ".trainers.vfpe.npse",
         "VectorFieldTrainer": ".trainers.vfpe.base_vf_inference",

@@ -339,14 +339,27 @@ class NeuralInference(ABC):
 
     # ------------------------------------------------------------- pickling
     def __getstate__(self):
-        """Excise the tracker like the reference (ref base.py:1311-1346)."""
+        """Excise tracker + net-builder closure like the reference
+        (ref base.py:1311-1346; builders are local closures and rebuilt or
+        re-supplied after load)."""
         state = self.__dict__.copy()
         state["_tracker"] = None
+        state["_build_neural_net"] = None
         return state
 
     def __setstate__(self, state):
         self.__dict__.update(state)
         self._tracker = InMemoryTracker()
+        if self._build_neural_net is None:
+            def _missing_builder(*args, **kwargs):
+                raise RuntimeError(
+                    "The net-builder closure is not serialized (it may hold "
+                    "arbitrary user code). The trained estimator was restored "
+                    "and training can resume; to retrain_from_scratch, "
+                    "re-create the trainer with its density_estimator."
+                )
+
+            self._build_neural_net = _missing_builder
 
     def save(self, path: str):
         with open(path, "wb") as f:

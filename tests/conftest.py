@@ -20,6 +20,25 @@ import pytest  # noqa: E402
 from sbi_tpu.utils.sbiutils import seed_all_backends  # noqa: E402
 
 
+def pytest_addoption(parser):
+    """--bm harness flags (ref `tests/conftest.py:47-84`)."""
+    parser.addoption("--bm", action="store_true", default=False,
+                     help="run mini-sbibm benchmark tests")
+    parser.addoption("--bm-mode", action="store", default=None,
+                     help="restrict benchmark to one method (npe|nle|nre|fmpe|npse)")
+    parser.addoption("--bm-num-simulations", action="store", default=2000,
+                     help="simulation budget per benchmark run")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--bm"):
+        # --bm: run ONLY benchmark-marked tests (ref conftest.py:47-60).
+        skip = pytest.mark.skip(reason="running benchmarks only (--bm)")
+        for item in items:
+            if "benchmark" not in item.keywords:
+                item.add_marker(skip)
+
+
 @pytest.fixture(autouse=True)
 def set_seed():
     seed_all_backends(1)
