@@ -163,12 +163,15 @@ def rational_quadratic_spline(
 
 
 def _made_degrees(d: int, hidden: Sequence[int]) -> list:
+    """Autoregressive degree assignment. Hidden degrees range over [0, d-1]:
+    degree-0 hidden units receive NO theta inputs but DO receive the (unmasked)
+    context injection, giving the first output dim (degree 1, which may only
+    read hidden degrees < 1) a pure-context channel. Without degree-0 units,
+    dim 1's parameters are context-independent — a silent bug that makes 1-D
+    conditional MAFs unconditional."""
     degrees = [np.arange(1, d + 1)]
     for h in hidden:
-        if d > 1:
-            degrees.append(np.arange(h) % (d - 1) + 1)
-        else:
-            degrees.append(np.ones(h, dtype=int))
+        degrees.append(np.arange(h) % d)  # 0 .. d-1
     return degrees
 
 
