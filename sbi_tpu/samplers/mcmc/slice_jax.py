@@ -119,7 +119,36 @@ def run_slice_vectorized(
     tune_width: bool = True,
     key: Optional[Array] = None,
 ) -> Array:
-    """Run C vectorized slice chains; return (num_samples_per_chain, C, D).
+    """Vectorized slice sampling; returns (num_samples_per_chain, C, D).
+
+    Delegates to the batched-FSM implementation (`slice_fsm.py`): one
+    potential eval per iteration for all chains, no phase barriers —
+    measured 2.1x (cheap potentials) to 6x (flow potentials) over the
+    sweep-structured variant below, with ~100x faster compiles.
+    """
+    from .slice_fsm import run_slice_vectorized_fsm
+
+    return run_slice_vectorized_fsm(
+        potential_fn, inits, num_samples, thin=thin, warmup_steps=warmup_steps,
+        init_width=init_width, max_steps_out=max_steps_out,
+        max_shrink=max_shrink, tune_width=tune_width, key=key,
+    )
+
+
+def run_slice_vectorized_sweep(
+    potential_fn: Callable[[Array], Array],
+    inits: Array,
+    num_samples: int,
+    thin: int = 1,
+    warmup_steps: int = 200,
+    init_width: float | Array = 1.0,
+    max_steps_out: int = 50,
+    max_shrink: int = 100,
+    tune_width: bool = True,
+    key: Optional[Array] = None,
+) -> Array:
+    """Sweep-structured variant (vmapped per-chain while_loops); kept for
+    cross-validation of the FSM implementation.
 
     Args:
         potential_fn: batched log-density, (B, D) -> (B,). Must be pure/jittable.
