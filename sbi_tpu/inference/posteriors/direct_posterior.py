@@ -90,47 +90,46 @@ class DirectPosterior(NeuralPosterior):
     ) -> Array:
         """Vectorized over a batch of observations: (sample..., B, D).
 
-        All observations share one rejection loop; per-x acceptance is
-        tracked with a mask so the whole thing is a few big batched flow
-        inversions (ref `:211-299`)."""
+        All observations share one rejection loop; each round is ONE batched
+        flow inversion over all B conditions plus a fully-vectorized
+        scatter-fill (per-column cumsum -> flat scatter with OOB drop) —
+        no per-observation python loop (ref `:211-299`)."""
         key = next_key(key)
         x = jnp.atleast_2d(jnp.asarray(x, jnp.float32))
         B = x.shape[0]
         num_samples = 1
         for s in sample_shape:
             num_samples *= int(s)
+        S = num_samples
         est = self.posterior_estimator
         D = est.input_shape[0]
+        per_round = max(num_samples, 256)
+        prior = self.prior
 
-        collected = jnp.zeros((num_samples, B, D))
-        filled = jnp.zeros((num_samples, B), dtype=bool)
-        max_iters = 1000
-        per_round = max(num_samples, 1000)
-        for _ in range(max_iters):
+        @jax.jit
+        def round_fn(collected, counts, sub):
+            cand = est.sample_fn(est.params, sub, (per_round,), x)  # (R, B, D)
+            ok = within_support(prior, cand.reshape(-1, D)).reshape(per_round, B)
+            csum = jnp.cumsum(ok.astype(jnp.int32), axis=0)
+            slots = counts[None, :] + csum - 1  # (R, B) target rows
+            valid = ok & (slots < S)
+            col = jnp.broadcast_to(jnp.arange(B)[None, :], (per_round, B))
+            flat_idx = jnp.where(valid, slots * B + col, S * B)  # OOB -> drop
+            collected = (
+                collected.reshape(S * B, D)
+                .at[flat_idx.reshape(-1)]
+                .set(cand.reshape(-1, D), mode="drop")
+                .reshape(S, B, D)
+            )
+            counts = jnp.minimum(counts + ok.sum(axis=0), S)
+            return collected, counts
+
+        collected = jnp.zeros((S, B, D))
+        counts = jnp.zeros((B,), jnp.int32)
+        for _ in range(1000):
             key, sub = jax.random.split(key)
-            cand = est.sample_fn(est.params, sub, (per_round,), x)  # (N, B, D)
-            ok = within_support(self.prior, cand.reshape(-1, D)).reshape(per_round, B)
-            # Fill vacant slots per column.
-            for b_start in range(0, 1):  # vectorized fill below
-                pass
-            # compute positions: for each column, indices of accepted candidates
-            # use a host loop over B (B is small in practice) — candidate for
-            # later scan-ification.
-            collected_np = collected
-            for b in range(B):
-                need = ~filled[:, b]
-                n_need = int(need.sum())
-                if n_need == 0:
-                    continue
-                acc_b = cand[:, b, :][ok[:, b]]
-                n_take = min(n_need, int(acc_b.shape[0]))
-                if n_take == 0:
-                    continue
-                slots = jnp.where(need, size=num_samples, fill_value=-1)[0][:n_take]
-                collected_np = collected_np.at[slots, b].set(acc_b[:n_take])
-                filled = filled.at[slots, b].set(True)
-            collected = collected_np
-            if bool(filled.all()):
+            collected, counts = round_fn(collected, counts, sub)
+            if int(counts.min()) >= S:
                 break
         return collected.reshape(tuple(sample_shape) + (B, D))
 
