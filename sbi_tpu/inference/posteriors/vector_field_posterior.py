@@ -81,9 +81,22 @@ class VectorFieldPosterior(NeuralPosterior):
                 est, predictor=predictor, corrector=corrector,
                 corrector_params=corrector_params,
             )
+            if x.shape[0] > 1 and est.SDE_DEFINED:
+                # iid observations: composed score (ref vector_field_adaptor)
+                from ..potentials.vector_field_adaptor import build_iid_score_fn
 
-            def proposal(k, n):
-                return diffuser.run(n, x[:1], steps=steps, ts=ts, key=k)[:, 0, :]
+                score_fn = build_iid_score_fn(
+                    est, self.prior, x, method=kwargs.pop("iid_method", "auto_gauss")
+                )
+
+                def proposal(k, n):
+                    return diffuser.run(
+                        n, x[:1], steps=steps, ts=ts, key=k, score_fn=score_fn
+                    )[:, 0, :]
+
+            else:
+                def proposal(k, n):
+                    return diffuser.run(n, x[:1], steps=steps, ts=ts, key=k)[:, 0, :]
 
         elif method == "ode":
             node = self.potential_fn.neural_ode(x[:1])

@@ -1,0 +1,282 @@
+"""Score composition for iid observations (diffusion posteriors).
+
+JAX counterpart of `sbi/inference/potentials/vector_field_adaptor.py`
+(`FactorizedNPEScoreFunction` `:725`, `GaussCorrectedScoreFn` `:1035`,
+`AutoGauss` `:1139`, `JacCorrected` `:1274`, registry `:169-506`).
+
+For N iid observations, the diffused posterior score is NOT the sum of
+per-observation scores; the factorization identity gives
+
+    s(th_t | x_{1:N}) = (1 - N) * s_prior(th_t) + sum_n s(th_t | x_n)
+
+(FNPE), and Gaussian-corrected variants replace the naive sum with a
+precision-weighted combination of per-factor Gaussian approximations
+(Geffner et al. 2023; Linhart et al. 2024):
+
+    Lam_n ~ posterior precision of factor n,  mu_n = th + sig^2 s_n (Tweedie)
+    Lam   = sum_n Lam_n - (N-1) Lam_prior
+    eta   = sum_n Lam_n mu_n - (N-1) Lam_prior mu_prior
+    s_eff = (Lam^{-1} eta - th) / sig^2
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ...utils.distributions import BoxUniform, MultivariateNormal
+
+Array = jax.Array
+
+IID_METHODS: Dict[str, Callable] = {}
+
+
+def register_iid_method(name):
+    def deco(fn):
+        IID_METHODS[name] = fn
+        return fn
+
+    return deco
+
+
+def get_iid_method(name: str) -> Callable:
+    if name not in IID_METHODS:
+        raise NotImplementedError(
+            f"Unknown iid method '{name}'. Available: {sorted(IID_METHODS)}"
+        )
+    return IID_METHODS[name]
+
+
+def _diffused_prior_score(prior, est, z: Array, t: Array) -> Array:
+    """Score of the prior pushed through the SDE marginal at time t, in the
+    estimator's z-space. Analytic for Gaussian priors; for bounded/unknown
+    priors the (time-0) prior score is used, which vanishes inside a
+    BoxUniform's support (the reference's fallback)."""
+    D = z.shape[-1]
+    m_t = est.mean_t_fn(t)[:, None]
+    s_t = est.std_fn(t)[:, None]
+    tr = est.input_transform
+    scale = getattr(tr, "scale", jnp.ones(D))
+    loc = getattr(tr, "loc", jnp.zeros(D))
+    if isinstance(prior, MultivariateNormal):
+        # prior in z-space: N((mu-loc)/scale, S^-1 Sigma S^-1)
+        mu_z = (prior.loc - loc) / scale
+        cov_z = prior.covariance_matrix / jnp.outer(scale, scale)
+        # diffused: N(m_t mu_z, m_t^2 cov_z + s_t^2 I)
+        cov_t = (m_t[..., None] ** 2) * cov_z[None] + (
+            s_t[..., None] ** 2
+        ) * jnp.eye(D)[None]
+        diff = z - m_t * mu_z
+        sol = jnp.linalg.solve(cov_t, diff[..., None])[..., 0]
+        return -sol
+    if isinstance(prior, BoxUniform):
+        return jnp.zeros_like(z)
+    # generic fallback: time-0 prior score via autodiff in raw space
+    def lp_raw(zz):
+        theta = zz * scale + loc
+        return prior.log_prob(theta[None])[0]
+
+    return jax.vmap(jax.grad(lp_raw))(z)
+
+
+def _prior_gauss_params(prior, est, D):
+    tr = est.input_transform
+    scale = getattr(tr, "scale", jnp.ones(D))
+    loc = getattr(tr, "loc", jnp.zeros(D))
+    if isinstance(prior, MultivariateNormal):
+        mu_z = (prior.loc - loc) / scale
+        cov_z = prior.covariance_matrix / jnp.outer(scale, scale)
+        return jnp.linalg.inv(cov_z), mu_z
+    if isinstance(prior, BoxUniform):
+        low_z = (prior.low - loc) / scale
+        high_z = (prior.high - loc) / scale
+        mu_z = 0.5 * (low_z + high_z)
+        var_z = (high_z - low_z) ** 2 / 12.0
+        return jnp.diag(1.0 / var_z), mu_z
+    raise NotImplementedError(
+        "Gauss-corrected iid composition needs a Gaussian or BoxUniform prior."
+    )
+
+
+def _prior_score_t0(prior, est, z: Array) -> Array:
+    """Time-0 prior score in z-space (zero inside a BoxUniform's support)."""
+    D = z.shape[-1]
+    tr = est.input_transform
+    scale = getattr(tr, "scale", jnp.ones(D))
+    loc = getattr(tr, "loc", jnp.zeros(D))
+    if isinstance(prior, MultivariateNormal):
+        mu_z = (prior.loc - loc) / scale
+        cov_z = prior.covariance_matrix / jnp.outer(scale, scale)
+        return -jnp.linalg.solve(cov_z, (z - mu_z)[..., None])[..., 0]
+    if isinstance(prior, BoxUniform):
+        return jnp.zeros_like(z)
+
+    def lp_raw(zz):
+        theta = zz * scale + loc
+        return prior.log_prob(theta[None])[0]
+
+    return jax.vmap(jax.grad(lp_raw))(z)
+
+
+@register_iid_method("fnpe")
+def fnpe_score(est, params, prior, xs_z: Array):
+    """Factorized composition (ref `:725,774-814`): per-observation scores
+    summed, plus (1-N) x the time-0 prior score weighted by the linear
+    schedule (t_max - t)/t_max."""
+    N = xs_z.shape[0]
+    t_max = est.t_max
+
+    def score(z: Array, t: Array) -> Array:
+        tb = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (z.shape[0],))
+        total = 0.0
+        for n in range(N):
+            cond = jnp.broadcast_to(xs_z[n][None], (z.shape[0],) + xs_z.shape[1:])
+            total = total + est.score_z_fn(params, z, cond, tb)
+        w = (t_max - tb[0]) / t_max
+        prior_score = _prior_score_t0(prior, est, z)
+        return total + (1.0 - N) * w * prior_score
+
+    return score
+
+
+def _gauss_combined(est, params, prior, xs_z, post_prec_fn):
+    """Precision-weighted score combination (ref `:955-1030`):
+
+        Lam_pt  = m^2/sig^2 I + Lam_prior          (denoising prior precision)
+        Lam_n   = m^2/sig^2 I + Lam_post_est_n     (denoising posterior prec.)
+        Lam     = (1 - N) Lam_pt + sum_n Lam_n
+        s_eff   = Lam^{-1} [(1-N) Lam_pt s_prior,t + sum_n Lam_n s_n]
+    """
+    N = xs_z.shape[0]
+
+    def score(z: Array, t: Array) -> Array:
+        B, D = z.shape
+        tb = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (B,))
+        m = est.mean_t_fn(tb)[:, None]  # (B, 1)
+        sig2 = (est.std_fn(tb)[:, None]) ** 2
+        noise_prec = (m**2 / jnp.clip(sig2, 1e-6))[..., None] * jnp.eye(D)[None]
+        Lam_p, _ = _prior_gauss_params(prior, est, D)
+        Lam_pt = noise_prec + Lam_p[None]
+        s_pt = _diffused_prior_score(prior, est, z, tb)
+        Lam = (1 - N) * Lam_pt
+        eta = (1 - N) * jnp.einsum("bij,bj->bi", Lam_pt, s_pt)
+        for n in range(N):
+            cond = jnp.broadcast_to(xs_z[n][None], (B,) + xs_z.shape[1:])
+            s_n = est.score_z_fn(params, z, cond, tb)
+            Lam_n = noise_prec + post_prec_fn(z, cond, tb, s_n, sig2, m)
+            Lam = Lam + Lam_n
+            eta = eta + jnp.einsum("bij,bj->bi", Lam_n, s_n)
+        Lam = Lam + 1e-4 * jnp.eye(D)[None]
+        return jnp.linalg.solve(Lam, eta[..., None])[..., 0]
+
+    return score
+
+
+@register_iid_method("gauss")
+def gauss_corrected_score(est, params, prior, xs_z: Array,
+                          scale_from_prior_precision: float = 2.0):
+    """GaussCorrected (ref `:1035`): heuristic posterior precision =
+    scale x prior precision (data assumed informative)."""
+
+    def post_prec(z, cond, tb, s_n, sig2, m):
+        B, D = z.shape
+        Lam_p, _ = _prior_gauss_params(prior, est, D)
+        return scale_from_prior_precision * Lam_p[None]
+
+    return _gauss_combined(est, params, prior, xs_z, post_prec)
+
+
+@register_iid_method("auto_gauss")
+def auto_gauss_score(est, params, prior, xs_z: Array):
+    """AutoGauss (ref `:1139`): posterior precision moment-matched from the
+    denoiser via a diagonal Tweedie second-moment estimate
+    Var(th0|tht,x) = sig^2/m^2 (I + sig^2 ds/dz) diag."""
+
+    def post_prec(z, cond, tb, s_n, sig2, m):
+        B, D = z.shape
+        eps = 1e-3
+        s_eps = est.score_z_fn(params, z + eps, cond, tb)
+        ds_dz = (s_eps - s_n) / eps  # (B, D) diag approx
+        var = jnp.clip(sig2 / jnp.clip(m**2, 1e-6) * (1.0 + sig2 * ds_dz), 1e-6)
+        # Lam_n total = m^2/sig^2 + post_prec => post_prec = 1/var - m^2/sig^2
+        post = jnp.clip(1.0 / var - m**2 / jnp.clip(sig2, 1e-6), 1e-6)
+        return jax.vmap(jnp.diag)(post)
+
+    return _gauss_combined(est, params, prior, xs_z, post_prec)
+
+
+@register_iid_method("jac_gauss")
+def jac_corrected_score(est, params, prior, xs_z: Array):
+    """JacCorrected (ref `:1274`): full-Jacobian Tweedie second moment."""
+
+    def post_prec(z, cond, tb, s_n, sig2, m):
+        B, D = z.shape
+
+        def s_single(zz, cc, tt):
+            return est.score_z_fn(params, zz[None], cc[None], tt[None])[0]
+
+        J = jax.vmap(lambda zz, cc, tt: jax.jacfwd(
+            lambda u: s_single(u, cc, tt)
+        )(zz))(z, cond, tb)  # (B, D, D)
+        var = (sig2 / jnp.clip(m**2, 1e-6))[..., None] * (
+            jnp.eye(D)[None] + sig2[..., None] * J
+        )
+        var = 0.5 * (var + jnp.swapaxes(var, -1, -2)) + 1e-4 * jnp.eye(D)[None]
+        Lam_total = jnp.linalg.inv(var)
+        noise_prec = (m**2 / jnp.clip(sig2, 1e-6))[..., None] * jnp.eye(D)[None]
+        post = Lam_total - noise_prec
+        # keep PSD-ish
+        return post + 1e-3 * jnp.eye(D)[None]
+
+    return _gauss_combined(est, params, prior, xs_z, post_prec)
+
+
+# ---------------------------------------------------------------------------
+# Guidance registry (classifier-free / universal guidance hooks,
+# ref `:169-506`). Guidance wraps a score fn with an additive term.
+# ---------------------------------------------------------------------------
+
+GUIDANCE_METHODS: Dict[str, Callable] = {}
+
+
+def register_guidance(name):
+    def deco(fn):
+        GUIDANCE_METHODS[name] = fn
+        return fn
+
+    return deco
+
+
+@register_guidance("prior")
+def prior_guidance(score_fn, est, prior, strength: float = 1.0):
+    """Add the (diffused) prior score with a strength multiplier."""
+
+    def guided(z, t):
+        tb = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (z.shape[0],))
+        return score_fn(z, t) + strength * _diffused_prior_score(prior, est, z, tb)
+
+    return guided
+
+
+@register_guidance("interval")
+def interval_guidance(score_fn, est, prior, low=None, high=None,
+                      strength: float = 10.0):
+    """Push samples toward a box via a smooth barrier gradient."""
+
+    def guided(z, t):
+        s = score_fn(z, t)
+        if low is not None:
+            s = s + strength * jax.nn.relu(low - z)
+        if high is not None:
+            s = s - strength * jax.nn.relu(z - high)
+        return s
+
+    return guided
+
+
+def build_iid_score_fn(est, prior, xs: Array, method: str = "auto_gauss"):
+    """Compose an iid-observation score fn in z-space from raw observations."""
+    xs_z = est._embed_condition(jnp.atleast_2d(jnp.asarray(xs, jnp.float32)))
+    return get_iid_method(method)(est, est.params, prior, xs_z)

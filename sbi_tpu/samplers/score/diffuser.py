@@ -111,8 +111,15 @@ class Diffuser:
         steps: int = 500,
         ts: Optional[Array] = None,
         key: Optional[Array] = None,
+        score_fn: Optional[Callable] = None,
     ) -> Array:
-        """Sample (num_samples, B, D) in *raw theta space*."""
+        """Sample (num_samples, B, D) in *raw theta space*.
+
+        ``score_fn(z, t) -> (N, D)``: optional override of the estimator's
+        conditional score — used for iid score composition (FNPE/Gauss
+        adaptors), where many observations share one posterior."""
+        if score_fn is not None:
+            return self._run_with_score_fn(num_samples, score_fn, steps, ts, key)
         est = self.estimator
         key = next_key(key)
         x = jnp.atleast_2d(jnp.asarray(x, jnp.float32))
@@ -149,3 +156,46 @@ class Diffuser:
         return theta.reshape(num_samples, B, D) if B == 1 else theta.reshape(
             B, num_samples, D
         ).swapaxes(0, 1)
+
+    def _run_with_score_fn(self, num_samples, score_fn, steps, ts, key,
+                           corrector_snr: float = 0.16, corrector_steps: int = 1):
+        """Reverse SDE with an explicit z-space score fn (single posterior).
+        Includes Langevin corrector steps by default — composed iid scores
+        are biased at t > 0 (the reference's FNPE docstring notes the same),
+        and the corrector re-equilibrates each time marginal."""
+        est = self.estimator
+        key = next_key(key)
+        D = est.input_shape[0]
+        if ts is None:
+            ts = est.solve_schedule(steps)
+        k_init, k_run = jax.random.split(key)
+        std0 = est.std_fn(jnp.asarray([ts[0]]))[0]
+        z = std0 * jax.random.normal(k_init, (num_samples, D))
+
+        def step(z, inp):
+            t0, t1, k = inp
+            kp, kc = jax.random.split(k)
+            dt = t1 - t0
+            t0b = jnp.broadcast_to(t0, (z.shape[0],))
+            score = score_fn(z, t0)
+            drift = est.drift_fn(z, t0b)
+            diff = est.diffusion_fn(z, t0b)
+            eps = jax.random.normal(kp, z.shape)
+            z = z + (drift - diff**2 * score) * dt + diff * jnp.sqrt(-dt) * eps
+
+            def langevin(z, k_i):
+                s = score_fn(z, t1)
+                noise = jax.random.normal(k_i, z.shape)
+                g_norm = jnp.linalg.norm(s, axis=-1, keepdims=True).mean()
+                n_norm = jnp.sqrt(jnp.asarray(D, jnp.float32))
+                eps_l = 2 * (corrector_snr * n_norm / jnp.clip(g_norm, 1e-8)) ** 2
+                return z + eps_l * s + jnp.sqrt(2 * eps_l) * noise
+
+            for i in range(corrector_steps):
+                z = langevin(z, jax.random.fold_in(kc, i))
+            return z, None
+
+        keys = jax.random.split(k_run, ts.shape[0] - 1)
+        z, _ = jax.lax.scan(step, z, (ts[:-1], ts[1:], keys))
+        theta = est.input_transform.inverse(z)
+        return theta.reshape(num_samples, 1, D)

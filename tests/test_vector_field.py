@@ -78,3 +78,34 @@ def test_score_schedule_shapes():
         assert sc.shape == (5, 3)
         loss = est.loss_fn(est.params, theta[:8], x[:8], jax.random.PRNGKey(2))
         assert loss.shape == (8,)
+
+
+@pytest.mark.slow
+def test_iid_score_composition():
+    """iid observations tighten the score-based posterior; all composition
+    methods (FNPE / Gauss-corrected family) produce finite, narrower
+    posteriors than single-observation sampling."""
+    import numpy as np
+
+    from sbi_tpu.simulators.linear_gaussian import linear_gaussian
+
+    prior, theta, x, x_o, ref = _setup()
+    inf = NPSE(prior=prior, sde_type="vp")
+    inf.append_simulations(theta, x).train(
+        training_batch_size=100, stop_after_epochs=20
+    )
+    post = inf.build_posterior()
+    theta_o = jnp.array([[0.5, -0.3]])
+    x_iid = linear_gaussian(
+        jnp.repeat(theta_o, 5, axis=0), -1.0 * jnp.ones(2), 0.3 * jnp.eye(2),
+        key=jax.random.PRNGKey(7),
+    )
+    s1 = post.sample((500,), x=x_iid[:1], key=jax.random.PRNGKey(8))
+    for method in ["fnpe", "gauss", "auto_gauss"]:
+        s = post.sample(
+            (500,), x=x_iid, key=jax.random.PRNGKey(2), iid_method=method,
+            steps=200,
+        )
+        assert bool(jnp.isfinite(s).all()), method
+        # multi-observation posterior must be tighter than single-obs
+        assert float(s.std(0).mean()) < float(s1.std(0).mean()), method
