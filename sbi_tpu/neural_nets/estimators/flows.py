@@ -546,6 +546,10 @@ class FlowModule(nn.Module):
                 layers.append(AdditiveCoupling(dim=self.dim, **kw))
             elif kind == "lu_linear":
                 layers.append(LULinear(dim=self.dim, **kw))
+            elif kind == "monotone_ar":
+                from .monotone_flows import MonotoneAutoregressive
+
+                layers.append(MonotoneAutoregressive(dim=self.dim, **kw))
             elif kind == "permutation":
                 layers.append(Permutation(**kw))
             else:

@@ -1,0 +1,203 @@
+"""Monotone elementwise autoregressive flows: NAF/UNAF, SOS-polynomial,
+Bernstein-polynomial, Gaussianization.
+
+Native implementations of the zuko flow zoo's remaining members
+(ref `sbi/neural_nets/net_builders/flow.py:459-1170` builds zuko's
+NAF/UNAF/SOSPF/BPF/GF). All share one structure: an autoregressive MADE
+hyper-network emits parameters of a *strictly monotone scalar transform*
+applied per dimension; log|det| is the sum of log-derivatives; the inverse
+(needed only for sampling) is a fixed-iteration bisection — branch-free and
+TPU-friendly.
+
+Monotone transforms:
+  - 'dsf'       deep sigmoidal flow (NAF/UNAF): logit(sum_k w_k sigmoid(a_k x + b_k))
+  - 'sos'       sum-of-squares polynomial: c + int_0^x sum_k P_k(u)^2 du
+  - 'bernstein' increasing Bernstein polynomial on a sigmoid-squashed axis
+  - 'gauss_cdf' Gaussianization: Phi^{-1}(mixture-of-logistics CDF)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .flows import MADENet
+
+Array = jax.Array
+
+_SQRT2 = math.sqrt(2.0)
+
+
+# ---------------------------------------------------------------------------
+# Scalar monotone transforms: fn(x (...,), params (..., P)) -> (y, dy/dx)
+# ---------------------------------------------------------------------------
+
+
+def _dsf_transform(x, p, K):
+    """Deep sigmoidal flow step: logit(sum w sigmoid(a x + b)); strictly
+    monotone for a > 0, w a simplex."""
+    w = jax.nn.softmax(p[..., :K], axis=-1)
+    a = jax.nn.softplus(p[..., K:2 * K]) + 1e-3
+    b = p[..., 2 * K:3 * K]
+    pre = a * x[..., None] + b
+    sig = jax.nn.sigmoid(pre)
+    s = jnp.clip(jnp.sum(w * sig, axis=-1), 1e-6, 1 - 1e-6)
+    y = jnp.log(s) - jnp.log1p(-s)
+    ds_dx = jnp.sum(w * a * sig * (1 - sig), axis=-1)
+    dy_dx = ds_dx / (s * (1 - s))
+    return y, dy_dx
+
+
+def _sos_transform(x, p, K, degree: int = 2):
+    """Sum-of-squares polynomial flow (Jaini et al. 2019):
+    T(x) = c + eps x + int_0^x sum_k (a_k0 + a_k1 u + a_k2 u^2)^2 du.
+
+    Coefficients are tanh-bounded (high-degree monomials explode for
+    unconstrained hyper-net outputs) and a small linear term keeps the
+    transform strictly increasing everywhere."""
+    n_coef = degree + 1
+    coefs = 0.2 * jnp.tanh(
+        p[..., : K * n_coef].reshape(p.shape[:-1] + (K, n_coef))
+    ) / jnp.sqrt(float(K))
+    c = p[..., -1]
+    lin = 0.1
+    y = c + lin * x
+    deriv = jnp.full_like(x, lin)
+    for j in range(n_coef):
+        for l in range(n_coef):
+            term = coefs[..., :, j] * coefs[..., :, l]
+            y = y + jnp.sum(
+                term * x[..., None] ** (j + l + 1) / (j + l + 1), axis=-1
+            )
+            deriv = deriv + jnp.sum(term * x[..., None] ** (j + l), axis=-1)
+    return y, jnp.clip(deriv, 1e-8)
+
+
+def _bernstein_transform(x, p, K):
+    """Increasing Bernstein polynomial of degree K-1 on s = sigmoid(x),
+    mapped back through logit — monotone on R with linear-ish tails."""
+    # increasing coefficients via cumsum of softplus
+    deltas = jax.nn.softplus(p[..., :K]) + 1e-4
+    coef = jnp.cumsum(deltas, axis=-1)
+    coef = coef / coef[..., -1:]  # normalize to (0, 1]
+    s = jax.nn.sigmoid(x)
+    n = K - 1
+    # Bernstein basis B_{i,n}(s)
+    i = jnp.arange(K)
+    log_binom = (
+        jax.scipy.special.gammaln(n + 1)
+        - jax.scipy.special.gammaln(i + 1)
+        - jax.scipy.special.gammaln(n - i + 1)
+    )
+    s_ = jnp.clip(s[..., None], 1e-6, 1 - 1e-6)
+    basis = jnp.exp(
+        log_binom + i * jnp.log(s_) + (n - i) * jnp.log1p(-s_)
+    )
+    b = jnp.clip(jnp.sum(coef * basis, axis=-1), 1e-6, 1 - 1e-6)  # in (0,1)
+    y = jnp.log(b) - jnp.log1p(-b)
+    # derivative: db/ds = n * sum (coef_{i+1}-coef_i) B_{i,n-1}(s)
+    i2 = jnp.arange(K - 1)
+    log_binom2 = (
+        jax.scipy.special.gammaln(n)
+        - jax.scipy.special.gammaln(i2 + 1)
+        - jax.scipy.special.gammaln(n - 1 - i2 + 1)
+    )
+    basis2 = jnp.exp(
+        log_binom2 + i2 * jnp.log(s_) + (n - 1 - i2) * jnp.log1p(-s_)
+    )
+    db_ds = n * jnp.sum((coef[..., 1:] - coef[..., :-1]) * basis2, axis=-1)
+    ds_dx = s * (1 - s)
+    dy_db = 1.0 / (b * (1 - b))
+    return y, jnp.clip(db_ds * ds_dx * dy_db, 1e-8)
+
+
+def _gauss_cdf_transform(x, p, K):
+    """Gaussianization step: Phi^{-1}(mixture-of-logistics CDF(x))."""
+    w = jax.nn.softmax(p[..., :K], axis=-1)
+    mu = p[..., K:2 * K]
+    log_s = jnp.clip(p[..., 2 * K:3 * K], -5.0, 5.0)
+    inv_s = jnp.exp(-log_s)
+    z = (x[..., None] - mu) * inv_s
+    cdf = jnp.clip(jnp.sum(w * jax.nn.sigmoid(z), axis=-1), 1e-6, 1 - 1e-6)
+    y = _SQRT2 * jax.scipy.special.erfinv(2 * cdf - 1.0)
+    pdf = jnp.sum(w * inv_s * jax.nn.sigmoid(z) * (1 - jax.nn.sigmoid(z)), axis=-1)
+    dy_dcdf = jnp.sqrt(2 * jnp.pi) * jnp.exp(0.5 * y**2)
+    return y, jnp.clip(pdf * dy_dcdf, 1e-8)
+
+
+_TRANSFORMS = {
+    "dsf": (_dsf_transform, lambda K: 3 * K),
+    "sos": (_sos_transform, lambda K: 3 * K + 1),
+    "bernstein": (_bernstein_transform, lambda K: K),
+    "gauss_cdf": (_gauss_cdf_transform, lambda K: 3 * K),
+}
+
+
+class MonotoneAutoregressive(nn.Module):
+    """Autoregressive layer: MADE emits per-dim params of a monotone scalar
+    transform. forward = one pass; inverse = bisection (static iterations)
+    per dim, sequential over dims like all autoregressive flows."""
+
+    dim: int
+    transform: str = "dsf"
+    num_components: int = 8
+    hidden_features: int = 50
+    num_blocks: int = 2
+    bisect_lo: float = -30.0
+    bisect_hi: float = 30.0
+    bisect_iters: int = 50
+
+    def setup(self):
+        fn, n_params = _TRANSFORMS[self.transform]
+        self._fn = fn
+        self._n_params = n_params(self.num_components)
+        self.made = MADENet(
+            dim=self.dim,
+            out_mult=self._n_params,
+            hidden_features=self.hidden_features,
+            num_hidden_layers=self.num_blocks,
+            zero_init_output=False,
+        )
+
+    def _params_at(self, x, context):
+        return self.made(x, context)  # (B, D, P)
+
+    def forward(self, x, context=None):
+        p = self._params_at(x, context)
+        y, dydx = self._fn(x, p, self.num_components)
+        return y, jnp.sum(jnp.log(dydx), axis=-1)
+
+    def inverse(self, y, context=None):
+        """Sequential-over-dims bisection: dim i's params depend only on
+        x_<i, which are already solved."""
+        x = jnp.zeros_like(y)
+        for d in range(self.dim):
+            p = self._params_at(x, context)[:, d, :]
+
+            def f(v):
+                out, _ = self._fn(v, p, self.num_components)
+                return out
+
+            lo = jnp.full(y.shape[:1], self.bisect_lo)
+            hi = jnp.full(y.shape[:1], self.bisect_hi)
+            target = y[:, d]
+
+            def body(carry, _):
+                lo, hi = carry
+                mid = 0.5 * (lo + hi)
+                below = f(mid) < target
+                lo = jnp.where(below, mid, lo)
+                hi = jnp.where(below, hi, mid)
+                return (lo, hi), None
+
+            (lo, hi), _ = jax.lax.scan(body, (lo, hi), None,
+                                       length=self.bisect_iters)
+            x = x.at[:, d].set(0.5 * (lo + hi))
+        p = self._params_at(x, context)
+        _, dydx = self._fn(x, p, self.num_components)
+        return x, -jnp.sum(jnp.log(dydx), axis=-1)

@@ -276,22 +276,55 @@ def build_zuko_ncsf(*args, **kwargs):
     return build_maf_rqs(*args, **kwargs)
 
 
-def _closest_equivalent(name):
-    def builder(*args, **kwargs):
-        warnings.warn(
-            f"build_zuko_{name}: native implementation pending; using an "
-            "autoregressive RQ-spline flow of equivalent capability."
+def _monotone_builder(transform: str, default_transforms: int = 3):
+    """Monotone autoregressive flow families (NAF/UNAF/SOSPF/BPF/GF):
+    MADE hyper-network + strictly monotone scalar transform, bisection
+    inverse (estimators/monotone_flows.py)."""
+
+    def builder(
+        batch_theta,
+        batch_x,
+        z_score_theta="independent",
+        z_score_x="independent",
+        hidden_features: int = 50,
+        num_transforms: int = default_transforms,
+        num_blocks: int = 2,
+        num_components: int = 8,
+        embedding_net=None,
+        key=None,
+        **kwargs,
+    ):
+        dim = int(jnp.asarray(batch_theta).shape[-1])
+        configs = []
+        for _ in range(num_transforms):
+            configs.append(
+                (
+                    "monotone_ar",
+                    dict(
+                        transform=transform,
+                        num_components=num_components,
+                        hidden_features=hidden_features,
+                        num_blocks=num_blocks,
+                    ),
+                )
+            )
+            if dim > 1:
+                configs.append(
+                    ("permutation", dict(perm=tuple(range(dim - 1, -1, -1))))
+                )
+        return _build_flow_estimator(
+            batch_theta, batch_x, configs, z_score_theta, z_score_x,
+            embedding_net, key,
         )
-        return build_maf_rqs(*args, **kwargs)
 
     return builder
 
 
-build_zuko_gf = _closest_equivalent("gf")
-build_zuko_sospf = _closest_equivalent("sospf")
-build_zuko_naf = _closest_equivalent("naf")
-build_zuko_unaf = _closest_equivalent("unaf")
-build_zuko_bpf = _closest_equivalent("bpf")
+build_zuko_naf = _monotone_builder("dsf")
+build_zuko_unaf = _monotone_builder("dsf")
+build_zuko_sospf = _monotone_builder("sos")
+build_zuko_bpf = _monotone_builder("bernstein")
+build_zuko_gf = _monotone_builder("gauss_cdf")
 
 
 # ---------------------------------------------------------------------------

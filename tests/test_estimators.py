@@ -115,3 +115,31 @@ def test_quick_fit_gaussian(name):
     s = est.sample((200,), jnp.array([[1.0, 1.0]]), key=jax.random.PRNGKey(5))
     mean = np.asarray(s.mean(axis=0))[0]
     assert np.allclose(mean, [1.0, 1.0], atol=0.4), mean
+
+
+@pytest.mark.parametrize("name", ["naf", "sospf", "bpf", "gf"])
+def test_monotone_flow_families(name):
+    """Native NAF/SOSPF/BPF/GF: finite densities, invertible sampling,
+    trainable (counterpart of the reference's zuko builders)."""
+    from sbi_tpu.neural_nets.net_builders.flow import (
+        build_zuko_bpf,
+        build_zuko_gf,
+        build_zuko_naf,
+        build_zuko_sospf,
+    )
+
+    builders = {
+        "naf": build_zuko_naf,
+        "sospf": build_zuko_sospf,
+        "bpf": build_zuko_bpf,
+        "gf": build_zuko_gf,
+    }
+    theta, x = _data(n=256)
+    est = builders[name](theta, x)
+    lp = est.log_prob(theta[:6].reshape(2, 3, -1), x[:3])
+    assert lp.shape == (2, 3) and bool(jnp.isfinite(lp).all())
+    s = est.sample((5,), x[:3], key=jax.random.PRNGKey(0))
+    assert s.shape == (5, 3, 3) and bool(jnp.isfinite(s).all())
+    # roundtrip: density of own samples finite
+    lp2 = est.log_prob(s, x[:3])
+    assert bool(jnp.isfinite(lp2).all())
