@@ -121,7 +121,10 @@ def slcp_log_likelihood(theta: Array, x: Array) -> Array:
     diff = x - mean[..., None, :]  # (..., 4, 2)
     y = _tri_solve_batch(chol, diff)
     half_logdet = jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
-    lp_each = -0.5 * jnp.sum(y**2, axis=-1) - half_logdet - jnp.log(2 * jnp.pi)
+    # y: (..., T, 2); half_logdet: (...,) -> broadcast over the trial axis
+    lp_each = (
+        -0.5 * jnp.sum(y**2, axis=-1) - half_logdet[..., None] - jnp.log(2 * jnp.pi)
+    )
     return jnp.sum(lp_each, axis=-1)
 
 
