@@ -8,6 +8,7 @@ normalizer (`:301-379`), cached `leakage_correction` (`:459-516`).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -40,10 +41,16 @@ class DirectPosterior(NeuralPosterior):
         self.posterior_estimator = posterior_estimator
         self.max_sampling_batch_size = max_sampling_batch_size
         self._leakage_density_correction = {}
+        self._jit_proposal = None
         self._purpose = (
             "It samples the posterior network and rejects samples that lie "
             "outside of the prior bounds."
         )
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_jit_proposal"] = None  # jitted callables don't pickle
+        return state
 
     # ----------------------------------------------------------------- sample
     def sample(
@@ -63,8 +70,17 @@ class DirectPosterior(NeuralPosterior):
         batch = max_sampling_batch_size or self.max_sampling_batch_size
         est = self.posterior_estimator
 
+        # Cached jitted proposal: compiled once per (batch-size, x-shape);
+        # params and x are traced arguments so the cache survives both
+        # repeated sample() calls and set_default_x changes.
+        if self._jit_proposal is None:
+            self._jit_proposal = jax.jit(
+                lambda params, k, xx, n: est.sample_fn(params, k, (n,), xx)[:, 0, :],
+                static_argnums=(3,),
+            )
+
         def proposal(k, n):
-            return est.sample_fn(est.params, k, (n,), x)[:, 0, :]
+            return self._jit_proposal(est.params, k, x, n)
 
         def accept(samples):
             return within_support(self.prior, samples)

@@ -24,6 +24,11 @@ class TrainConfig:
     resume_training: bool = False
     retrain_from_scratch: bool = False
     show_train_summary: bool = False
+    epoch_chunk: int = 1
+    """Epochs fused into one XLA call. 1 = exact per-epoch early stopping
+    (reference parity). Larger values amortize host<->device roundtrips
+    (the dominant cost on TPU); early stopping and best-params restore then
+    operate at chunk granularity."""
 
     def __post_init__(self):
         if self.training_batch_size <= 0:
@@ -38,6 +43,8 @@ class TrainConfig:
             raise ValueError("max_num_epochs must be positive.")
         if self.clip_max_norm is not None and self.clip_max_norm <= 0:
             raise ValueError("clip_max_norm must be positive or None.")
+        if self.epoch_chunk < 1:
+            raise ValueError("epoch_chunk must be >= 1.")
 
 
 @dataclass

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import copy
 import math
+from functools import partial
 import pickle
 import time
 import warnings
@@ -216,37 +217,47 @@ class NeuralInference(ABC):
         train_idx_j = jnp.asarray(train_idx)
         val_idx_j = jnp.asarray(val_idx)
 
-        @jax.jit
-        def epoch_fn(params, opt_state, epoch_key, theta, x, masks):
+        chunk = max(1, cfg.epoch_chunk)
+
+        def one_epoch(carry, epoch_key):
+            p, s, theta, x, masks = carry
             perm = jax.random.permutation(epoch_key, train_idx_j.shape[0])
             idx = train_idx_j[perm[: n_batches * batch_size]].reshape(
                 n_batches, batch_size
             )
             keys = jax.random.split(jax.random.fold_in(epoch_key, 1), n_batches)
 
-            def body(carry, inp):
-                p, s = carry
+            def body(carry2, inp):
+                p2, s2 = carry2
                 bidx, k = inp
                 tb, xb, mb = theta[bidx], x[bidx], masks[bidx]
 
                 def mean_loss(p_):
                     return loss_fn(p_, k, tb, xb, mb).mean()
 
-                loss, g = jax.value_and_grad(mean_loss)(p)
-                updates, s = tx.update(g, s, p)
-                p = optax.apply_updates(p, updates)
-                return (p, s), loss
+                loss, g = jax.value_and_grad(mean_loss)(p2)
+                updates, s2 = tx.update(g, s2, p2)
+                p2 = optax.apply_updates(p2, updates)
+                return (p2, s2), loss
 
-            (params, opt_state), losses = jax.lax.scan(
-                body, (params, opt_state), (idx, keys)
-            )
-            return params, opt_state, losses.mean()
-
-        @jax.jit
-        def val_fn(params, val_key, theta, x, masks):
-            return loss_fn(
-                params, val_key, theta[val_idx_j], x[val_idx_j], masks[val_idx_j]
+            (p, s), losses = jax.lax.scan(body, (p, s), (idx, keys))
+            val = loss_fn(
+                p,
+                jax.random.fold_in(epoch_key, 2),
+                theta[val_idx_j],
+                x[val_idx_j],
+                masks[val_idx_j],
             ).mean()
+            return (p, s, theta, x, masks), (losses.mean(), val)
+
+        @partial(jax.jit, static_argnums=(3,))
+        def chunk_fn(params, opt_state, chunk_key, n_epochs, theta, x, masks):
+            """n_epochs epochs in ONE XLA call; host sees per-epoch losses."""
+            keys = jax.random.split(chunk_key, n_epochs)
+            (params, opt_state, *_), (tl, vl) = jax.lax.scan(
+                one_epoch, (params, opt_state, theta, x, masks), keys
+            )
+            return params, opt_state, tl, vl
 
         # Reset convergence tracking for this train() call.
         self._best_val_loss = float("inf")
@@ -254,29 +265,41 @@ class NeuralInference(ABC):
         self._best_params = params
 
         epoch_start = self._epoch
-        while self._epoch <= cfg.max_num_epochs:
+        stop = False
+        while not stop and self._epoch - epoch_start < cfg.max_num_epochs:
             t0 = time.time()
-            key, k_epoch, k_val = jax.random.split(key, 3)
-            params, opt_state, train_loss = epoch_fn(
-                params, opt_state, k_epoch, theta, x, masks
+            key, k_chunk = jax.random.split(key)
+            n_this = min(chunk, cfg.max_num_epochs - (self._epoch - epoch_start))
+            params, opt_state, train_losses, val_losses = chunk_fn(
+                params, opt_state, k_chunk, n_this, theta, x, masks
             )
-            val_loss = float(val_fn(params, k_val, theta, x, masks))
-            self._epoch += 1
-            self._val_loss = val_loss
-            self._summary["training_loss"].append(float(train_loss))
-            self._summary["validation_loss"].append(val_loss)
-            self._summary["epoch_durations_sec"].append(time.time() - t0)
-            self._tracker.log_metric("train_loss", float(train_loss), self._epoch)
-            self._tracker.log_metric("validation_loss", val_loss, self._epoch)
-
-            if self._converged(val_loss, params, cfg.stop_after_epochs):
-                break
+            dt = (time.time() - t0) / n_this
+            train_losses = np.asarray(train_losses)
+            val_losses = np.asarray(val_losses)
+            for i in range(n_this):
+                self._epoch += 1
+                self._val_loss = float(val_losses[i])
+                self._summary["training_loss"].append(float(train_losses[i]))
+                self._summary["validation_loss"].append(float(val_losses[i]))
+                self._summary["epoch_durations_sec"].append(dt)
+                self._tracker.log_metric(
+                    "train_loss", float(train_losses[i]), self._epoch
+                )
+                self._tracker.log_metric(
+                    "validation_loss", float(val_losses[i]), self._epoch
+                )
+            # Convergence at chunk granularity: best-params snapshots are the
+            # chunk-end params whose chunk contained the best val epoch (for
+            # chunk=1 this is exactly the reference's per-epoch behavior).
+            best_in_chunk = float(val_losses[:n_this].min())
+            if self._converged(best_in_chunk, params, cfg.stop_after_epochs):
+                stop = True
             if self._epoch - epoch_start >= cfg.max_num_epochs:
                 warnings.warn(
                     "Maximum number of epochs reached, but network has not yet "
                     "fully converged."
                 )
-                break
+                stop = True
 
         # Restore best params (ref base.py:1178-1188).
         params = self._best_params

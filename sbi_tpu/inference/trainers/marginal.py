@@ -72,6 +72,7 @@ class MarginalTrainer(NeuralInference):
             resume_training=resume_training,
             retrain_from_scratch=retrain_from_scratch,
             show_train_summary=show_train_summary,
+            epoch_chunk=int(kwargs.get("epoch_chunk", 1)),
         )
         key = next_key(key)
         _, x, _ = self.get_simulations(0)

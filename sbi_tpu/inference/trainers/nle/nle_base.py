@@ -91,6 +91,7 @@ class LikelihoodEstimatorTrainer(NeuralInference):
             resume_training=resume_training,
             retrain_from_scratch=retrain_from_scratch,
             show_train_summary=show_train_summary,
+            epoch_chunk=int(kwargs.get("epoch_chunk", 1)),
         )
         key = next_key(key)
         start_idx = int(discard_prior_samples and self._round > 0)

@@ -108,6 +108,7 @@ class PosteriorEstimatorTrainer(NeuralInference):
             resume_training=resume_training,
             retrain_from_scratch=retrain_from_scratch,
             show_train_summary=show_train_summary,
+            epoch_chunk=int(kwargs.get("epoch_chunk", 1)),
         )
         key = next_key(key)
 

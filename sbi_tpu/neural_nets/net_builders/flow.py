@@ -166,6 +166,10 @@ def build_nsf(
                     ),
                 )
             )
+            if dim > 1:
+                configs.append(
+                    ("permutation", dict(perm=tuple(range(dim - 1, -1, -1))))
+                )
     else:
         for i in range(num_transforms):
             mask = _alternating_mask(dim, even=(i % 2 == 0))
