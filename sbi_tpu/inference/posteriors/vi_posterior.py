@@ -189,9 +189,123 @@ class VIPosterior(NeuralPosterior):
                 )
         return self
 
+    # ----------------------------------------------------------- amortized
+    def _pure_potential_xfn(self):
+        """Side-effect-free potential(theta, x) for vmapped amortized ELBO."""
+        from ..potentials.likelihood_based_potential import (
+            LikelihoodBasedPotential,
+        )
+        from ..potentials.posterior_based_potential import PosteriorBasedPotential
+        from ..potentials.ratio_based_potential import RatioBasedPotential
+
+        pot = self.potential_fn
+        prior = self.prior
+        if isinstance(pot, LikelihoodBasedPotential):
+            est = pot.likelihood_estimator
+
+            def fn(theta, x):
+                B = theta.shape[0]
+                x_rep = jnp.broadcast_to(x[None], (B,) + x.shape)[None]
+                return est.log_prob_fn(est.params, x_rep, theta)[0] + prior.log_prob(theta)
+
+            return fn
+        if isinstance(pot, PosteriorBasedPotential):
+            est = pot.posterior_estimator
+
+            def fn(theta, x):
+                return est.log_prob_fn(est.params, theta[:, None, :], x[None])[:, 0]
+
+            return fn
+        if isinstance(pot, RatioBasedPotential):
+            est = pot.ratio_estimator
+
+            def fn(theta, x):
+                B = theta.shape[0]
+                x_rep = jnp.broadcast_to(x[None], (B,) + x.shape)
+                return est.log_ratio_fn(est.params, theta, x_rep) + prior.log_prob(theta)
+
+            return fn
+        raise NotImplementedError(
+            "train_amortized needs a likelihood/posterior/ratio potential."
+        )
+
+    def train_amortized(
+        self,
+        xs: Array,
+        n_particles: int = 128,
+        learning_rate: float = 1e-3,
+        max_num_iters: int = 2000,
+        clip_value: float = 5.0,
+        key=None,
+        **kwargs,
+    ) -> "VIPosterior":
+        """Amortized VI (ref `vi_posterior.py:914-1241`): fit a *conditional*
+        flow q(theta | x) by the rKL ELBO averaged over a batch of
+        observations. After training, `sample(x=...)`/`log_prob(theta, x=...)`
+        work for any x without re-fitting."""
+        from ...neural_nets.net_builders.flow import build_nsf
+
+        key = next_key(key)
+        xs = jnp.atleast_2d(jnp.asarray(xs, jnp.float32))
+        D = self._dim
+        # conditional q: NSF over theta given x
+        dummy_theta = self.prior.sample(jax.random.fold_in(key, 0), (max(xs.shape[0], 8),))
+        est = build_nsf(
+            self.theta_transform.forward(dummy_theta),
+            xs[jnp.arange(max(xs.shape[0], 8)) % xs.shape[0]],
+            z_score_theta="none",
+            hidden_features=32,
+            num_transforms=3,
+            key=jax.random.fold_in(key, 1),
+        )
+        params = est.params
+        tt = self.theta_transform
+        pot_xfn = self._pure_potential_xfn()
+
+        def loss(p, k, x_batch):
+            def per_x(k_i, x_i):
+                u, log_q = est.net.apply(
+                    p, k_i, n_particles,
+                    est._embed_condition(x_i[None]),
+                    method="sample_and_log_prob",
+                )
+                u = u[:, 0, :]
+                log_q = log_q[:, 0]
+                theta, ldj = tt.inverse_and_log_det(u)
+                lp = pot_xfn(theta, x_i) + ldj
+                return jnp.mean(log_q - lp)
+
+            keys = jax.random.split(k, x_batch.shape[0])
+            return jnp.mean(jax.vmap(per_x)(keys, x_batch))
+
+        tx = optax.chain(optax.clip_by_global_norm(clip_value),
+                         optax.adam(learning_rate))
+        state = tx.init(params)
+
+        @jax.jit
+        def step(p, s, k):
+            l, g = jax.value_and_grad(loss)(p, k, xs)
+            u, s = tx.update(g, s, p)
+            return optax.apply_updates(p, u), s, l
+
+        for i in range(max_num_iters):
+            key, k = jax.random.split(key)
+            params, state, l = step(params, state, k)
+        est.params = params
+        self._amortized_q = est
+        self._trained = True
+        return self
+
     # --------------------------------------------------------------- sample
     def sample(self, sample_shape=(), x: Optional[Array] = None, key=None,
                **kwargs) -> Array:
+        if getattr(self, "_amortized_q", None) is not None and x is not None:
+            est = self._amortized_q
+            u = est.sample(sample_shape, jnp.atleast_2d(jnp.asarray(x, jnp.float32)),
+                           key=key)
+            u = u.reshape((-1, self._dim))
+            theta = self.theta_transform.inverse(u)
+            return theta.reshape(tuple(sample_shape) + (self._dim,))
         if not self._trained:
             raise RuntimeError("Call `vi_posterior.train()` first.")
         key = next_key(key)
