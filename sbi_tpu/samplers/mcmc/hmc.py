@@ -23,18 +23,20 @@ Array = jax.Array
 
 
 def _leapfrog(theta, mom, grad, step_size, inv_mass, logp_grad_fn, num_steps):
-    """num_steps leapfrog steps; returns (theta, mom, logp, grad)."""
+    """num_steps leapfrog steps; returns (theta, mom, logp, grad).
 
-    def body(carry, _):
+    num_steps may be a traced integer (jittered trajectories) — fori_loop
+    lowers to a while_loop in that case."""
+
+    def body(i, carry):
         th, m, g = carry
         m = m + 0.5 * step_size * g
         th = th + step_size * inv_mass * m
         lp, g = logp_grad_fn(th)
         m = m + 0.5 * step_size * g
-        return (th, m, g), None
+        return (th, m, g)
 
-    lp0, g0 = logp_grad_fn(theta)
-    (theta, mom, grad), _ = jax.lax.scan(body, (theta, mom, grad), None, length=num_steps)
+    theta, mom, grad = jax.lax.fori_loop(0, num_steps, body, (theta, mom, grad))
     lp, grad = logp_grad_fn(theta)
     return theta, mom, lp, grad
 
@@ -47,7 +49,7 @@ def run_hmc(
     warmup_steps: int = 200,
     num_leapfrog: int = 16,
     target_accept: float = 0.8,
-    jitter_steps: bool = True,
+    jitter_steps: bool = False,
     key: Optional[Array] = None,
 ) -> Array:
     """Vectorized HMC; returns (num_samples, C, D).
@@ -69,7 +71,13 @@ def run_hmc(
         mom = jax.random.normal(k_mom, (D,)) * jnp.sqrt(mass)
         lp0, g0 = logp_grad(theta)
         h0 = lp0 - 0.5 * jnp.sum(inv_mass * mom**2)
-        n_steps = num_leapfrog
+        if jitter_steps:
+            # Jittered trajectory length in [1, num_leapfrog] — the
+            # fixed-shape NUTS surrogate (randomized-HMC has the same
+            # stationary distribution and breaks resonances).
+            n_steps = jax.random.randint(k_jit, (), 1, num_leapfrog + 1)
+        else:
+            n_steps = num_leapfrog
         theta_new, mom_new, lp1, _ = _leapfrog(
             theta, mom, g0, step_size, inv_mass, logp_grad, n_steps
         )
@@ -174,5 +182,6 @@ def run_nuts(
         warmup_steps=warmup_steps,
         num_leapfrog=num_leapfrog,
         target_accept=target_accept,
+        jitter_steps=True,
         key=key,
     )
