@@ -1,0 +1,94 @@
+"""Analysis-layer tests: plots render, conditionals are correct, sensitivity
+finds directions, restriction estimator restricts (counterpart of
+`tests/analysis_test.py`, `sensitivity_test.py`)."""
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sbi_tpu.analysis import (
+    ActiveSubspace,
+    ConditionedMDN,
+    conditional_corrcoeff,
+    eval_conditional_density,
+    marginal_plot,
+    pairplot,
+    sbc_rank_plot,
+)
+from sbi_tpu.inference import NPE
+from sbi_tpu.simulators.linear_gaussian import linear_gaussian
+from sbi_tpu.utils.distributions import MultivariateNormal
+from sbi_tpu.utils.sbiutils import seed_all_backends
+
+
+@pytest.fixture(scope="module")
+def trained_posterior():
+    seed_all_backends(0)
+    D = 3
+    prior = MultivariateNormal(jnp.zeros(D), covariance_matrix=jnp.eye(D))
+    theta = prior.sample(jax.random.PRNGKey(0), (1500,))
+    x = linear_gaussian(theta, -jnp.ones(D), 0.3 * jnp.eye(D),
+                        key=jax.random.PRNGKey(1))
+    inf = NPE(prior=prior, density_estimator="mdn")
+    inf.append_simulations(theta, x).train(
+        training_batch_size=100, max_num_epochs=40
+    )
+    post = inf.build_posterior().set_default_x(jnp.zeros((1, D)))
+    return inf, post
+
+
+def test_pairplot_and_marginals(trained_posterior):
+    _, post = trained_posterior
+    samples = post.sample((400,), key=jax.random.PRNGKey(2))
+    fig, axes = pairplot(samples, points=jnp.zeros(3))
+    assert len(axes) == 3
+    fig2, _ = marginal_plot([samples, samples + 0.1])
+    fig3, _ = sbc_rank_plot(
+        np.random.randint(0, 100, size=(80, 2)), num_posterior_samples=100
+    )
+
+
+def test_eval_conditional_density(trained_posterior):
+    _, post = trained_posterior
+    cond = post.sample((1,), key=jax.random.PRNGKey(3))[0]
+    limits = jnp.array([[-3.0, 3.0]] * 3)
+    probs, grid = eval_conditional_density(post, cond[None], limits, 0, 0)
+    assert probs.shape == (50,)
+    assert bool(jnp.isfinite(probs).all()) and float(probs.min()) >= 0
+    probs2d, _ = eval_conditional_density(
+        post, cond[None], limits, 0, 1, return_grids=True
+    )
+    assert probs2d.shape == (50, 50)
+    cc = conditional_corrcoeff(post, limits, cond[None])
+    assert cc.shape == (3, 3)
+    assert np.allclose(np.diag(np.asarray(cc)), 1.0)
+
+
+def test_conditioned_mdn(trained_posterior):
+    inf, post = trained_posterior
+    cond = post.sample((1,), key=jax.random.PRNGKey(4))[0]
+    cm = ConditionedMDN(
+        inf._neural_net, jnp.zeros((1, 3)), condition=cond, dims_to_sample=[0, 1]
+    )
+    s = cm.sample((200,), key=jax.random.PRNGKey(5))
+    assert s.shape == (200, 2)
+    lp = cm.log_prob(s[:10])
+    assert bool(jnp.isfinite(lp).all())
+
+
+def test_active_subspace(trained_posterior):
+    _, post = trained_posterior
+    samples = post.sample((800,), key=jax.random.PRNGKey(6))
+    prop = samples @ jnp.array([0.0, 0.0, 1.0])  # depends only on dim 2
+    asub = ActiveSubspace(post)
+    asub.add_property(samples, prop).train(max_num_epochs=60)
+    eigvals, eigvecs = asub.find_directions(key=jax.random.PRNGKey(7))
+    top = np.abs(np.asarray(eigvecs[:, -1]))
+    assert top[2] > 0.9, top
+    proj = asub.project(samples[:10], 1, key=jax.random.PRNGKey(8))
+    assert proj.shape == (10, 1)

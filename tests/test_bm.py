@@ -20,6 +20,22 @@ from tests.mini_sbibm import ALL_BENCH_TASKS, get_bench_task
 
 RESULTS_DIR = ".bm_results"
 
+def _make_fmpe(prior):
+    from sbi_tpu.inference import FMPE
+    from sbi_tpu.neural_nets.factory import posterior_flow_nn
+
+    return FMPE(prior=prior,
+                density_estimator=posterior_flow_nn("ada_mlp", hidden_features=256))
+
+
+def _make_npse(prior):
+    from sbi_tpu.inference import NPSE
+    from sbi_tpu.neural_nets.factory import posterior_score_nn
+
+    return NPSE(prior=prior, density_estimator=posterior_score_nn(
+        "ada_mlp", sde_type="vp", hidden_features=256))
+
+
 METHODS = {
     "npe": lambda prior: __import__("sbi_tpu.inference", fromlist=["NPE"]).NPE(
         prior=prior, density_estimator="nsf"
@@ -30,13 +46,15 @@ METHODS = {
     "nre": lambda prior: __import__("sbi_tpu.inference", fromlist=["NRE_B"]).NRE_B(
         prior=prior
     ),
-    "fmpe": lambda prior: __import__("sbi_tpu.inference", fromlist=["FMPE"]).FMPE(
-        prior=prior
-    ),
-    "npse": lambda prior: __import__("sbi_tpu.inference", fromlist=["NPSE"]).NPSE(
-        prior=prior, sde_type="vp"
+    "fmpe": _make_fmpe,
+    "npse": _make_npse,
+    # sequential: 3 rounds of NPE-C focused on each observation
+    "snpe": lambda prior: __import__("sbi_tpu.inference", fromlist=["NPE_C"]).NPE_C(
+        prior=prior, density_estimator="nsf"
     ),
 }
+
+SEQUENTIAL = {"snpe"}
 
 
 def _bm_enabled(request):
@@ -63,25 +81,51 @@ def test_benchmark(bm_method, bm_task, request):
     bench = get_bench_task(bm_task)
     prior = bench.prior
 
-    theta = prior.sample(jax.random.PRNGKey(0), (num_simulations,))
-    x = bench.simulator(theta, key=jax.random.PRNGKey(1))
-
-    inference = METHODS[bm_method](prior)
-    inference.append_simulations(theta, x)
-    inference.train(training_batch_size=100)
-
     scores = []
-    for i in range(bench.observations.shape[0]):
-        x_o = bench.get_observation(i)
-        ref = bench.get_reference_posterior_samples(i)
-        posterior = inference.build_posterior()
-        sample_kwargs = {}
-        if bm_method in ("nle", "nre"):
-            sample_kwargs = dict(num_chains=100, warmup_steps=100)
-        samples = posterior.sample(
-            (ref.shape[0],), x=x_o, key=jax.random.PRNGKey(10 + i), **sample_kwargs
-        )
-        scores.append(float(c2st(samples, ref)))
+    if bm_method in SEQUENTIAL:
+        # 3 rounds per observation, equal split of the simulation budget
+        # (mirrors the reference's snpe bm mode).
+        num_rounds = 3
+        per_round = num_simulations // num_rounds
+        for i in range(bench.observations.shape[0]):
+            x_o = bench.get_observation(i)
+            ref = bench.get_reference_posterior_samples(i)
+            inference = METHODS[bm_method](prior)
+            proposal = prior
+            for r in range(num_rounds):
+                if r == 0:
+                    theta = proposal.sample(jax.random.PRNGKey(100 * i), (per_round,))
+                else:
+                    theta = proposal.sample((per_round,),
+                                            key=jax.random.PRNGKey(100 * i + r))
+                x = bench.simulator(theta, key=jax.random.PRNGKey(200 * i + r))
+                inference.append_simulations(
+                    theta, x, proposal=None if r == 0 else proposal
+                )
+                inference.train(training_batch_size=100)
+                posterior = inference.build_posterior().set_default_x(x_o)
+                proposal = posterior
+            samples = posterior.sample((ref.shape[0],), key=jax.random.PRNGKey(10 + i))
+            scores.append(float(c2st(samples, ref)))
+    else:
+        theta = prior.sample(jax.random.PRNGKey(0), (num_simulations,))
+        x = bench.simulator(theta, key=jax.random.PRNGKey(1))
+
+        inference = METHODS[bm_method](prior)
+        inference.append_simulations(theta, x)
+        inference.train(training_batch_size=100)
+
+        for i in range(bench.observations.shape[0]):
+            x_o = bench.get_observation(i)
+            ref = bench.get_reference_posterior_samples(i)
+            posterior = inference.build_posterior()
+            sample_kwargs = {}
+            if bm_method in ("nle", "nre"):
+                sample_kwargs = dict(num_chains=100, warmup_steps=100)
+            samples = posterior.sample(
+                (ref.shape[0],), x=x_o, key=jax.random.PRNGKey(10 + i), **sample_kwargs
+            )
+            scores.append(float(c2st(samples, ref)))
 
     mean_score = sum(scores) / len(scores)
     os.makedirs(RESULTS_DIR, exist_ok=True)
