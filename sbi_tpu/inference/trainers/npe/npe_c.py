@@ -135,11 +135,11 @@ class NPE_C(PosteriorEstimatorTrainer):
                 lambda t: est.input_transform.forward_and_log_det(t[None])
             )(theta_b)
             z_theta = z_theta[:, 0, :]
+            # MoG.log_prob normalizes the (unnormalized) product logits via
+            # log_softmax — this IS the normalized proposal posterior; do NOT
+            # subtract the product mass again.
             lp = mog_pp.log_prob(z_theta) + ldj[:, 0]
-            # Normalize: subtract log of the product's mass = logsumexp of
-            # product weights (MoG.product returns unnormalized logits).
-            log_mass = jax.scipy.special.logsumexp(mog_pp.logits, axis=-1)
-            return -(lp - log_mass)
+            return -lp
 
         return loss_fn
 

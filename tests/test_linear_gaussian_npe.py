@@ -88,3 +88,36 @@ def test_npe_map():
     )
     map_ = posterior.map(num_iter=200, num_init_samples=200, num_to_optimize=50)
     assert jnp.allclose(map_, gt.mean, atol=0.3), (map_, gt.mean)
+
+
+@pytest.mark.slow
+def test_npe_c_non_atomic_mog_path():
+    """MDN net + MDN proposal triggers the closed-form MoG proposal
+    correction (ref npe_c.py:436-721); the resulting posterior must stay
+    statistically sane (regression: a double mass-normalization once drove
+    C2ST to 1.0)."""
+    seed_all_backends(0)
+    num_dim = 2
+    x_o = jnp.zeros((1, num_dim))
+    shift = -1.0 * jnp.ones(num_dim)
+    cov = 0.3 * jnp.eye(num_dim)
+    prior = MultivariateNormal(jnp.zeros(num_dim), covariance_matrix=jnp.eye(num_dim))
+    gt = true_posterior_linear_gaussian_mvn_prior(
+        x_o, shift, cov, jnp.zeros(num_dim), jnp.eye(num_dim)
+    ).sample(jax.random.PRNGKey(3), (1000,))
+
+    inference = NPE(prior=prior, density_estimator=posterior_nn("mdn"))
+    proposal = prior
+    for r in range(2):
+        theta = (
+            proposal.sample(jax.random.PRNGKey(10 + r), (1200,))
+            if r == 0
+            else proposal.sample((1200,), key=jax.random.PRNGKey(10 + r))
+        )
+        x = linear_gaussian(theta, shift, cov, key=jax.random.PRNGKey(20 + r))
+        inference.append_simulations(theta, x, proposal=None if r == 0 else proposal)
+        inference.train(training_batch_size=100)
+        proposal = inference.build_posterior().set_default_x(x_o)
+    assert inference.use_non_atomic_loss
+    samples = proposal.sample((1000,), key=jax.random.PRNGKey(30))
+    check_c2st(samples, gt, alg="snpe-c-mog", tol=0.15)
