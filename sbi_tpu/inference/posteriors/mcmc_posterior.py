@@ -183,8 +183,10 @@ class MCMCPosterior(NeuralPosterior):
         num_chains: Optional[int] = None,
         **kwargs,
     ) -> Array:
-        """Batched observations: num_chains per x, one vectorized run over
-        B*num_chains chains (ref `:369-516`)."""
+        """Batched observations: num_chains per x, ONE vectorized sampler run
+        over all B*num_chains chains (ref `:369-516`). Requires the potential
+        to expose `batched_over_x` (likelihood/ratio/posterior potentials do);
+        falls back to a per-observation loop otherwise."""
         key = next_key(key)
         x = jnp.atleast_2d(jnp.asarray(x, jnp.float32))
         B = x.shape[0]
@@ -192,20 +194,56 @@ class MCMCPosterior(NeuralPosterior):
         num_samples = 1
         for s in sample_shape:
             num_samples *= int(s)
+
+        if not hasattr(self.potential_fn, "batched_over_x"):
+            samples_all = []
+            for b in range(B):
+                k = jax.random.fold_in(key, b)
+                s = self.sample(
+                    (num_samples,), x=x[b][None], key=k, num_chains=num_chains,
+                    **kwargs,
+                )
+                samples_all.append(s)
+            out = jnp.stack(samples_all, axis=1)  # (num_samples, B, D)
+            return out.reshape(tuple(sample_shape) + (B, out.shape[-1]))
+
+        # ---- single run over all observations' chains ----------------------
+        pot_raw = self.potential_fn.batched_over_x(x, num_chains)
+        pot_u = transformed_potential(pot_raw, self.theta_transform)
         per_chain = max(1, math.ceil(num_samples / num_chains))
 
-        # Build a batched potential: each chain c belongs to observation
-        # c // num_chains. We evaluate per-observation potentials and gather.
-        pots = []
-        samples_all = []
-        for b in range(B):
-            k = jax.random.fold_in(key, b)
-            s = self.sample(
-                (num_samples,), x=x[b][None], key=k, num_chains=num_chains, **kwargs
+        # inits: resample per observation against its own potential
+        k_init, k_run = jax.random.split(key)
+        cand = self.proposal.sample(k_init, (1024,))
+        total_chains = B * num_chains
+
+        def init_for_obs(b):
+            # score candidates under observation b and resample
+            reps = jnp.repeat(x[b][None], cand.shape[0], axis=0)
+            self.potential_fn.set_x(x[b][None])
+            logw = self.potential_fn(cand)
+            logw = jnp.where(jnp.isfinite(logw), logw, -jnp.inf)
+            idx = jax.random.categorical(
+                jax.random.fold_in(k_init, b), logw, shape=(num_chains,)
             )
-            samples_all.append(s)
-        out = jnp.stack(samples_all, axis=1)  # (num_samples, B, D)
-        return out.reshape(tuple(sample_shape) + (B, out.shape[-1]))
+            return cand[idx]
+
+        inits = jnp.concatenate([init_for_obs(b) for b in range(B)], axis=0)
+        inits_u = self.theta_transform.forward(inits)
+
+        from ...samplers.mcmc.slice_fsm import run_slice_vectorized_fsm
+
+        draws_u = run_slice_vectorized_fsm(
+            pot_u, inits_u, num_samples=per_chain,
+            thin=self.thin, warmup_steps=self.warmup_steps, key=k_run,
+        )  # (per_chain, B*num_chains, D)
+        D = draws_u.shape[-1]
+        draws = self.theta_transform.inverse(draws_u.reshape(-1, D)).reshape(
+            per_chain, B, num_chains, D
+        )
+        out = draws.swapaxes(1, 2).reshape(per_chain * num_chains, B, D)
+        out = out[:num_samples]
+        return out.reshape(tuple(sample_shape) + (B, D))
 
     def log_prob(self, theta, x=None, **kwargs):
         """Unnormalized potential (matches reference behavior for MCMC)."""

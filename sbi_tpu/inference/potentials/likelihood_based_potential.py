@@ -52,6 +52,21 @@ class LikelihoodBasedPotential(BasePotential):
         prior_lp = self.prior.log_prob(theta) if self.prior is not None else 0.0
         return log_likelihood + prior_lp
 
+    def batched_over_x(self, xs: Array, reps: int):
+        """Pure potential for batched observations: chain i of B*reps total
+        chains is scored against observation i // reps (one x per chain, no
+        iid trials). Used by MCMCPosterior.sample_batched to run ALL
+        observations' chains in one sampler invocation."""
+        est = self.likelihood_estimator
+        prior = self.prior
+        xs_rep = jnp.repeat(jnp.atleast_2d(jnp.asarray(xs, jnp.float32)), reps, axis=0)
+
+        def potential(theta: Array) -> Array:
+            lp = est.log_prob_fn(est.params, xs_rep[None], theta)[0]
+            return lp + (prior.log_prob(theta) if prior is not None else 0.0)
+
+        return potential
+
     def condition_on_theta(self, local_theta: Array, dims_global_theta):
         """Return potential over global dims with local thetas fixed per trial
         (ref `:132-183`)."""

@@ -7,9 +7,12 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ...neural_nets.estimators.base import ConditionalDensityEstimator
+
+Array = jax.Array
 from ...utils.sbiutils import ensure_theta_batched, within_support
 from ...utils.transforms import mcmc_transform
 from .base_potential import BasePotential
@@ -30,6 +33,23 @@ class PosteriorBasedPotential(BasePotential):
             in_support = within_support(self.prior, theta)
             lp = jnp.where(in_support, lp, -jnp.inf)
         return lp
+
+    def batched_over_x(self, xs: Array, reps: int):
+        """Pure potential for batched observations: chain i of B*reps is
+        scored against observation i // reps."""
+        est = self.posterior_estimator
+        prior = self.prior
+        xs_rep = jnp.repeat(
+            jnp.atleast_2d(jnp.asarray(xs, jnp.float32)), reps, axis=0
+        )
+
+        def potential(theta: Array) -> Array:
+            lp = est.log_prob_fn(est.params, theta[None], xs_rep)[0]
+            if prior is not None:
+                lp = jnp.where(within_support(prior, theta), lp, -jnp.inf)
+            return lp
+
+        return potential
 
 
 def posterior_estimator_based_potential(

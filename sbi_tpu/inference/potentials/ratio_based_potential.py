@@ -44,6 +44,21 @@ class RatioBasedPotential(BasePotential):
         prior_lp = self.prior.log_prob(theta) if self.prior is not None else 0.0
         return log_ratio + prior_lp
 
+    def batched_over_x(self, xs: Array, reps: int):
+        """Pure potential for batched observations: chain i of B*reps is
+        scored against observation i // reps (one x per chain)."""
+        est = self.ratio_estimator
+        prior = self.prior
+        xs_rep = jnp.repeat(
+            jnp.atleast_2d(jnp.asarray(xs, jnp.float32)), reps, axis=0
+        )
+
+        def potential(theta: Array) -> Array:
+            logits = est.log_ratio_fn(est.params, theta, xs_rep)
+            return logits + (prior.log_prob(theta) if prior is not None else 0.0)
+
+        return potential
+
 
 def ratio_estimator_based_potential(
     ratio_estimator, prior, x_o, enable_transform: bool = True
