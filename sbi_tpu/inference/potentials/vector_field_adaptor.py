@@ -260,6 +260,50 @@ def prior_guidance(score_fn, est, prior, strength: float = 1.0):
     return guided
 
 
+@register_guidance("classifier_free")
+def classifier_free_guidance(score_fn, est, prior, condition_z=None,
+                             guidance_scale: float = 1.0):
+    """Classifier-free guidance (ref `:169-506` registry; Ho & Salimans):
+    s_guided = (1+w) s(z|x) - w s(z) with the unconditional score from the
+    SAME net evaluated at a zeroed condition — valid when the estimator was
+    trained with `condition_dropout > 0`."""
+
+    def guided(z, t):
+        tb = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (z.shape[0],))
+        s_cond = score_fn(z, t)
+        zero_c = jnp.zeros((z.shape[0],) + (
+            condition_z.shape[1:] if condition_z is not None
+            else est.condition_shape
+        ))
+        s_uncond = est.score_z_fn(est.params, z, zero_c, tb)
+        return (1.0 + guidance_scale) * s_cond - guidance_scale * s_uncond
+
+    return guided
+
+
+@register_guidance("universal")
+def universal_guidance(score_fn, est, prior, guidance_fn=None,
+                       strength: float = 1.0):
+    """Universal guidance (ref `:285-360`): apply a differentiable guidance
+    function to the Tweedie-denoised estimate and follow its gradient."""
+    assert guidance_fn is not None, "universal guidance needs guidance_fn"
+
+    def guided(z, t):
+        tb = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (z.shape[0],))
+        s = score_fn(z, t)
+        m = est.mean_t_fn(tb)[:, None]
+        sig2 = (est.std_fn(tb)[:, None]) ** 2
+        denoised = (z + sig2 * s) / jnp.clip(m, 1e-6)
+
+        def g(zz):
+            d = (zz + sig2 * score_fn(zz, t)) / jnp.clip(m, 1e-6)
+            return jnp.sum(guidance_fn(d))
+
+        return s + strength * jax.grad(g)(z)
+
+    return guided
+
+
 @register_guidance("interval")
 def interval_guidance(score_fn, est, prior, low=None, high=None,
                       strength: float = 10.0):

@@ -38,12 +38,17 @@ class ConditionalScoreEstimator(ConditionalVectorFieldEstimator):
         input_transform=None,
         condition_transform=None,
         weight_fn: str = "max_likelihood",
+        condition_dropout: float = 0.0,
     ):
         super().__init__(
             net, params, input_shape, condition_shape, input_transform,
             condition_transform,
         )
         self.weight_fn = weight_fn
+        # >0 enables classifier-free guidance: the condition embedding is
+        # zeroed with this probability during training, so the same net also
+        # learns the unconditional score (Ho & Salimans 2022).
+        self.condition_dropout = condition_dropout
 
     # ------------------------------------------------------------- schedules
     def mean_t_fn(self, times: Array) -> Array:
@@ -122,6 +127,12 @@ class ConditionalScoreEstimator(ConditionalVectorFieldEstimator):
         mean_t = self.mean_t_fn(times)[:, None]
         std_t = self.std_fn(times)[:, None]
         z_t = mean_t * z + std_t * eps
+        if self.condition_dropout > 0.0:
+            k_drop = jax.random.fold_in(key, 7)
+            keep = jax.random.bernoulli(
+                k_drop, 1.0 - self.condition_dropout, (B,)
+            )
+            zc = zc * keep.reshape((B,) + (1,) * (zc.ndim - 1))
         eps_hat = self.net.apply(params, z_t, zc, times)
         return jnp.mean((eps_hat - eps) ** 2, axis=-1)
 
