@@ -12,7 +12,12 @@ from sbi_tpu.samplers.mcmc.init_strategy import (
     resample_given_potential_fn,
     sir_init,
 )
-from sbi_tpu.samplers.mcmc.slice_jax import SliceSamplerVectorized, run_slice_vectorized
+from sbi_tpu.samplers.mcmc.slice_fsm import run_slice_vectorized_fsm
+from sbi_tpu.samplers.mcmc.slice_jax import (
+    SliceSamplerVectorized,
+    run_slice_vectorized,
+    run_slice_vectorized_sweep,
+)
 from sbi_tpu.utils.distributions import BoxUniform, MultivariateNormal
 
 
@@ -26,7 +31,10 @@ def logp(th):
     return -0.5 * jnp.einsum("bi,ij,bj->b", d, PREC, d)
 
 
-@pytest.mark.parametrize("runner", [run_slice_vectorized, run_hmc])
+@pytest.mark.parametrize(
+    "runner", [run_slice_vectorized_fsm, run_slice_vectorized_sweep, run_hmc],
+    ids=["slice-fsm", "slice-sweep", "hmc"],
+)
 def test_mcmc_exactness(runner):
     inits = jax.random.normal(jax.random.PRNGKey(0), (50, 2))
     draws = runner(logp, inits, num_samples=300, warmup_steps=100,
