@@ -48,13 +48,16 @@ METHODS = {
     ),
     "fmpe": _make_fmpe,
     "npse": _make_npse,
-    # sequential: 3 rounds of NPE-C focused on each observation
+    # sequential: 3 rounds focused on each observation
     "snpe": lambda prior: __import__("sbi_tpu.inference", fromlist=["NPE_C"]).NPE_C(
         prior=prior, density_estimator="nsf"
     ),
+    "snle": lambda prior: __import__("sbi_tpu.inference", fromlist=["NLE_A"]).NLE_A(
+        prior=prior
+    ),
 }
 
-SEQUENTIAL = {"snpe"}
+SEQUENTIAL = {"snpe", "snle"}
 
 
 def _bm_enabled(request):
@@ -92,12 +95,19 @@ def test_benchmark(bm_method, bm_task, request):
             ref = bench.get_reference_posterior_samples(i)
             inference = METHODS[bm_method](prior)
             proposal = prior
+            mcmc_kwargs = (
+                dict(num_chains=100, warmup_steps=100)
+                if bm_method == "snle"
+                else {}
+            )
             for r in range(num_rounds):
                 if r == 0:
                     theta = proposal.sample(jax.random.PRNGKey(100 * i), (per_round,))
                 else:
-                    theta = proposal.sample((per_round,),
-                                            key=jax.random.PRNGKey(100 * i + r))
+                    theta = proposal.sample(
+                        (per_round,), key=jax.random.PRNGKey(100 * i + r),
+                        **mcmc_kwargs,
+                    )
                 x = bench.simulator(theta, key=jax.random.PRNGKey(200 * i + r))
                 inference.append_simulations(
                     theta, x, proposal=None if r == 0 else proposal
@@ -105,7 +115,9 @@ def test_benchmark(bm_method, bm_task, request):
                 inference.train(training_batch_size=100)
                 posterior = inference.build_posterior().set_default_x(x_o)
                 proposal = posterior
-            samples = posterior.sample((ref.shape[0],), key=jax.random.PRNGKey(10 + i))
+            samples = posterior.sample(
+                (ref.shape[0],), key=jax.random.PRNGKey(10 + i), **mcmc_kwargs
+            )
             scores.append(float(c2st(samples, ref)))
     else:
         theta = prior.sample(jax.random.PRNGKey(0), (num_simulations,))
