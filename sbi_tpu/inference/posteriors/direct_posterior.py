@@ -147,6 +147,17 @@ class DirectPosterior(NeuralPosterior):
             collected, counts = round_fn(collected, counts, sub)
             if int(counts.min()) >= S:
                 break
+        if int(counts.min()) < S:
+            # Mirrors accept_reject_sample's leakage warning instead of
+            # silently returning zero-padded rows.
+            worst = int(counts.min())
+            raise RuntimeError(
+                f"sample_batched: only {worst}/{S} samples accepted for the "
+                "worst observation after the sampling budget was exhausted — "
+                "the posterior leaks (almost) all mass outside the prior "
+                "support for at least one x. Retrain or use "
+                "sample_with='mcmc'."
+            )
         return collected.reshape(tuple(sample_shape) + (B, D))
 
     # ---------------------------------------------------------------- log_prob
@@ -180,16 +191,24 @@ class DirectPosterior(NeuralPosterior):
         **kwargs,
     ) -> Array:
         """Acceptance mass inside the prior support, cached per-x
-        (ref `:459-516`)."""
+        (ref `:459-516`). Returns a per-observation array of shape ``(B,)``
+        for batched ``x`` (B > 1) and a scalar for a single observation."""
         x = jnp.atleast_2d(jnp.asarray(x, jnp.float32))
         cache_key = bytes(jnp.asarray(x).tobytes())
         if not force_update and cache_key in self._leakage_density_correction:
             return self._leakage_density_correction[cache_key]
         est = self.posterior_estimator
         k = next_key(key)
-        samples = est.sample_fn(est.params, k, (num_rejection_samples,), x)[:, 0, :]
-        acceptance = within_support(self.prior, samples).mean()
+        B = x.shape[0]
+        samples = est.sample_fn(est.params, k, (num_rejection_samples,), x)  # (N, B, D)
+        D = samples.shape[-1]
+        ok = within_support(self.prior, samples.reshape(-1, D)).reshape(
+            num_rejection_samples, B
+        )
+        acceptance = ok.mean(axis=0)  # per-observation
         acceptance = jnp.clip(acceptance, 1e-9, 1.0)
+        if B == 1:
+            acceptance = acceptance[0]
         self._leakage_density_correction[cache_key] = acceptance
         return acceptance
 
@@ -200,7 +219,5 @@ class DirectPosterior(NeuralPosterior):
         S, B = lp.shape
         in_support = within_support(self.prior, theta.reshape(S * B, -1)).reshape(S, B)
         lp = jnp.where(in_support, lp, -jnp.inf)
-        corrections = jnp.stack(
-            [jnp.log(self.leakage_correction(x[b][None])) for b in range(B)]
-        )
+        corrections = jnp.log(jnp.atleast_1d(self.leakage_correction(x)))
         return lp - corrections[None, :]

@@ -210,7 +210,9 @@ class NPE_A_Posterior(NeuralPosterior):
         est = self.posterior_estimator
         mog = self._corrected_mog(x)
         z, ldj = est.input_transform.forward_and_log_det(theta)
-        lp = mog.log_prob(z) - jax.scipy.special.logsumexp(mog.logits, axis=-1) + ldj
+        # MoG.log_prob log-softmaxes the corrected logits, so it already
+        # returns the normalized posterior — no extra logsumexp subtraction.
+        lp = mog.log_prob(z) + ldj
         return jnp.where(within_support(self.prior, theta), lp, -jnp.inf)
 
 

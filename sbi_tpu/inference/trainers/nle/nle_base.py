@@ -51,11 +51,17 @@ class LikelihoodEstimatorTrainer(NeuralInference):
         exclude_invalid_x: bool = False,
         data_device=None,
     ) -> "LikelihoodEstimatorTrainer":
-        """NLE keeps invalid x by default with a warning (ref nle_base.py)."""
-        from ....utils.sbiutils import nle_nre_apt_msg_on_invalid_x
+        """NLE keeps invalid x by default: excluding them biases the learned
+        likelihood (ref nle_base.py warns and defaults exclude_invalid_x to
+        False)."""
+        from ....utils.sbiutils import handle_invalid_x, nle_nre_apt_msg_on_invalid_x
 
+        _, num_nans, num_infs = handle_invalid_x(jnp.asarray(x, jnp.float32), True)
+        nle_nre_apt_msg_on_invalid_x(
+            int(num_nans), int(num_infs), exclude_invalid_x, algorithm="NLE"
+        )
         theta, x = self._validate_theta_and_x(
-            theta, x, exclude_invalid_x=True, algorithm="NLE"
+            theta, x, exclude_invalid_x=exclude_invalid_x, algorithm="NLE"
         )
         current_round = 0 if proposal is None else max(
             self._data_round_index, default=-1

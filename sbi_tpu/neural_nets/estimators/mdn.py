@@ -87,36 +87,51 @@ class MoG:
         return means + delta
 
     @staticmethod
-    def product(a: "MoG", b: "MoG") -> "MoG":
+    def product(a: "MoG", b: "MoG", subtract_natural=None) -> "MoG":
         """Pairwise product of two MoGs (up to normalization), used by the
-        NPE-C non-atomic closed form (`npe_c.py:436-721` Appendix A.1)."""
+        NPE-C non-atomic closed form (`npe_c.py:436-721` Appendix A.1).
+
+        If ``subtract_natural=(P0, eta0)`` is given (a single Gaussian's
+        natural parameters: precision ``(D, D)`` and ``eta0 = P0 @ mu0`` of
+        shape ``(D,)``), the pairwise components are additionally *divided*
+        by that Gaussian — the prior correction of the proposal-posterior
+        ``pp ∝ q * proposal / prior`` (ref `npe_c.py:596-643`,
+        ``_precisions/means/logits_proposal_posterior``). Per-component
+        logits drop all terms constant across components (the prior's own
+        normalizer), exactly as the reference does — they vanish under the
+        ``log_softmax`` in :meth:`log_prob`.
+        """
         Pa, Pb = a.precisions, b.precisions
         B, Ka, D = a.means.shape
         Kb = b.means.shape[1]
         P = Pa[:, :, None] + Pb[:, None, :]  # (B, Ka, Kb, D, D)
-        cov = jnp.linalg.inv(P)
         eta = (
             jnp.einsum("bkij,bkj->bki", Pa, a.means)[:, :, None]
             + jnp.einsum("bkij,bkj->bki", Pb, b.means)[:, None, :]
         )
+        if subtract_natural is not None:
+            P0, eta0 = subtract_natural
+            P = P - P0
+            eta = eta - eta0
+        cov = jnp.linalg.inv(P)
         means = jnp.einsum("bklij,bklj->bkli", cov, eta)
-        # log normalization of each pairwise product
-        def comp_logZ(P_, m_, eta_, mean_):
-            _, logdet = jnp.linalg.slogdet(P_)
-            quad = (
-                jnp.einsum("...i,...i->...", eta_, mean_)
-            )
-            return 0.5 * (logdet - quad)
 
-        # weights: w_a * w_b * N(m_a; m_b, Pa^-1 + Pb^-1)
+        # Component logits (constants across components omitted):
+        #   log w_a + log w_b
+        #   + 0.5 (logdet cov_pp + logdet P_a + logdet P_b)
+        #   - 0.5 (m_a' P_a m_a + m_b' P_b m_b - m_pp' P_pp m_pp)
+        # == reference `_logits_proposal_posterior` (npe_c.py:655-721).
         log_wa = jax.nn.log_softmax(a.logits, -1)
         log_wb = jax.nn.log_softmax(b.logits, -1)
-        cov_sum = jnp.linalg.inv(Pa)[:, :, None] + jnp.linalg.inv(Pb)[:, None, :]
-        diff = a.means[:, :, None] - b.means[:, None, :]
-        sol = jnp.linalg.solve(cov_sum, diff[..., None])[..., 0]
-        quad = jnp.einsum("bkli,bkli->bkl", diff, sol)
-        _, logdet_cs = jnp.linalg.slogdet(cov_sum)
-        log_n = -0.5 * (D * _LOG_2PI + logdet_cs + quad)
+        _, logdet_P = jnp.linalg.slogdet(P)
+        _, logdet_Pa = jnp.linalg.slogdet(Pa)
+        _, logdet_Pb = jnp.linalg.slogdet(Pb)
+        expo_a = jnp.einsum("bki,bkij,bkj->bk", a.means, Pa, a.means)
+        expo_b = jnp.einsum("bki,bkij,bkj->bk", b.means, Pb, b.means)
+        expo_pp = jnp.einsum("bkli,bkli->bkl", means, eta)
+        log_n = 0.5 * (
+            -logdet_P + logdet_Pa[:, :, None] + logdet_Pb[:, None, :]
+        ) - 0.5 * (expo_a[:, :, None] + expo_b[:, None, :] - expo_pp)
         logits = (log_wa[:, :, None] + log_wb[:, None, :] + log_n).reshape(B, Ka * Kb)
         P_flat = P.reshape(B, Ka * Kb, D, D)
         means_flat = means.reshape(B, Ka * Kb, D)
