@@ -43,8 +43,19 @@ class BenchTask:
         return self.reference_samples[idx]
 
 
-def get_bench_task(name: str) -> BenchTask:
+def get_bench_task(name: str, prefer_reference: bool = True) -> BenchTask:
+    """Load a benchmark task with golden fixtures.
+
+    If ``{name}_ref.npz`` exists (converted from the reference's committed
+    `.pt` posterior samples by ``import_reference_fixtures.py`` — the
+    reference's own loader contract is `tests/mini_sbibm/base_task.py:78-100`),
+    it is preferred: benchmark C2ST numbers are then measured against the
+    *reference's* posteriors, not self-generated ones.
+    """
+    ref_path = os.path.join(FILES_DIR, f"{name}_ref.npz")
     path = os.path.join(FILES_DIR, f"{name}.npz")
+    if prefer_reference and os.path.exists(ref_path):
+        path = ref_path
     if not os.path.exists(path):
         raise FileNotFoundError(
             f"Golden fixture {path} missing; run tests/mini_sbibm/"

@@ -1,0 +1,66 @@
+"""Cross-validate our posterior machinery against the reference's committed
+golden posterior samples (converted from
+`/root/reference/tests/mini_sbibm/files/{two_moons,slcp}/samples_*.pt` by
+`tests/mini_sbibm/import_reference_fixtures.py`).
+
+- two_moons: our *analytic* inverse-noise sampler at the reference's x_o
+  must match the reference's MCMC-derived samples (C2ST ~ 0.5). This
+  validates the task/posterior geometry end to end.
+- slcp: our FSM vectorized slice sampler on the *exact* likelihood at the
+  reference's x_o must match the reference's samples. This validates the
+  sampler on a hard multimodal 5-D target (VERDICT r1 item 4; the sampler
+  was previously only validated on Gaussians).
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sbi_tpu.samplers.mcmc.slice_jax import run_slice_vectorized
+from sbi_tpu.simulators.tasks import get_task, two_moons_reference_samples
+from sbi_tpu.utils.metrics import c2st
+from sbi_tpu.utils.sbiutils import seed_all_backends
+from sbi_tpu.utils.transforms import mcmc_transform, transformed_potential
+
+from .mini_sbibm.base_task import get_bench_task
+
+NUM_SAMPLES = 1000
+
+
+def test_two_moons_analytic_matches_reference_fixtures():
+    seed_all_backends(0)
+    bench = get_bench_task("two_moons", prefer_reference=True)
+    scores = []
+    for idx in range(3):
+        x_o = bench.get_observation(idx)
+        ref = bench.get_reference_posterior_samples(idx)[:NUM_SAMPLES]
+        ours = two_moons_reference_samples(
+            x_o, NUM_SAMPLES, key=jax.random.PRNGKey(100 + idx)
+        )
+        scores.append(float(c2st(ours, ref)))
+    assert max(scores) < 0.6, f"two_moons fixture mismatch: C2ST {scores}"
+
+
+@pytest.mark.slow
+def test_slcp_fsm_slice_matches_reference_fixtures():
+    seed_all_backends(0)
+    bench = get_bench_task("slcp", prefer_reference=True)
+    task = get_task("slcp")
+    tt = mcmc_transform(task.prior)
+    scores = []
+    for idx in range(2):
+        x_o = bench.get_observation(idx)[0]
+        ref = bench.get_reference_posterior_samples(idx)[:NUM_SAMPLES]
+
+        def potential(theta, x_o=x_o):
+            return task.log_likelihood(theta, x_o) + task.prior.log_prob(theta)
+
+        pot_u = transformed_potential(potential, tt)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(200 + idx))
+        inits = tt.forward(task.prior.sample(k1, (100,)))
+        draws_u = run_slice_vectorized(
+            pot_u, inits, num_samples=40, thin=4, warmup_steps=300, key=k2
+        )
+        ours = tt.inverse(draws_u.reshape(-1, 5))[:NUM_SAMPLES]
+        scores.append(float(c2st(ours, ref)))
+    assert max(scores) < 0.6, f"slcp FSM slice vs reference fixtures: {scores}"

@@ -89,3 +89,62 @@ def test_importance_and_sir():
         key=jax.random.PRNGKey(1),
     )
     assert np.allclose(np.asarray(sir.mean(0)), np.asarray(MEAN), atol=0.3)
+
+
+# ---------------------------------------------------------------------------
+# Exactness on hard (multimodal / curved) targets — VERDICT r1 item 4.
+# The FSM bracket logic is stress-tested where a subtle bug would hide on
+# Gaussians: well-separated modes and a banana-shaped ridge.
+# ---------------------------------------------------------------------------
+
+
+def _bimodal_logp(th):
+    """Mixture of two x-separated 2-D Gaussians (weights 0.3/0.7).
+
+    Modes share the y-marginal so the x-conditional is bimodal — the
+    stepping-out bracket must cross the density valley for chains to mix
+    (axis-aligned slice cannot mix diagonally separated modes at all)."""
+    m1, m2 = jnp.array([-2.0, 0.0]), jnp.array([2.0, 0.0])
+    d1 = th - m1
+    d2 = th - m2
+    l1 = -0.5 * jnp.sum(d1**2, -1) / 0.25 + jnp.log(0.3)
+    l2 = -0.5 * jnp.sum(d2**2, -1) / 0.25 + jnp.log(0.7)
+    return jax.scipy.special.logsumexp(jnp.stack([l1, l2]), axis=0)
+
+
+def _banana_logp(th):
+    """Rosenbrock-style banana: x ~ N(0,1), y|x ~ N(x^2, 0.1)."""
+    x, y = th[:, 0], th[:, 1]
+    return -0.5 * x**2 - 0.5 * (y - x**2) ** 2 / 0.1
+
+
+@pytest.mark.parametrize(
+    "runner", [run_slice_vectorized_fsm, run_slice_vectorized_sweep],
+    ids=["slice-fsm", "slice-sweep"],
+)
+def test_mcmc_bimodal_mode_weights(runner):
+    """Chains must mix across well-separated modes with the right weights."""
+    inits = jax.random.normal(jax.random.PRNGKey(0), (100, 2)) * 3.0
+    draws = runner(_bimodal_logp, inits, num_samples=200, warmup_steps=200,
+                   key=jax.random.PRNGKey(1))
+    flat = np.asarray(draws.reshape(-1, 2))
+    w2 = float((flat[:, 0] > 0).mean())
+    assert abs(w2 - 0.7) < 0.1, f"mode weight {w2} vs 0.7"
+    # Conditional mode means
+    assert np.allclose(flat[flat[:, 0] > 0].mean(0), [2.0, 0.0], atol=0.2)
+    assert np.allclose(flat[flat[:, 0] < 0].mean(0), [-2.0, 0.0], atol=0.2)
+
+
+@pytest.mark.parametrize(
+    "runner", [run_slice_vectorized_fsm, run_slice_vectorized_sweep, run_hmc],
+    ids=["slice-fsm", "slice-sweep", "hmc"],
+)
+def test_mcmc_banana_moments(runner):
+    """Curved ridge: E[y] = E[x^2] = 1, Var[x] = 1."""
+    inits = jax.random.normal(jax.random.PRNGKey(2), (100, 2))
+    draws = runner(_banana_logp, inits, num_samples=400, warmup_steps=300,
+                   key=jax.random.PRNGKey(3))
+    flat = np.asarray(draws.reshape(-1, 2))
+    assert abs(flat[:, 0].mean()) < 0.15
+    assert abs(flat[:, 0].var() - 1.0) < 0.25
+    assert abs(flat[:, 1].mean() - 1.0) < 0.25
