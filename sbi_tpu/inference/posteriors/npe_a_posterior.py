@@ -65,7 +65,8 @@ def correct_mog_for_proposal(
     proposal_gaussian: Optional[Tuple[Array, Array]],
     dim: int,
 ) -> MoG:
-    """Apply the NPE-A quotient correction to a batched MoG (B, K, ...)."""
+    """Apply the NPE-A quotient correction to a batched MoG (B, K, ...) for a
+    *single-Gaussian* proposal (exact; Papamakarios 2016 Eqs. 23-26)."""
     P_k = mog.precisions  # (B, K, D, D)
     eta_k = jnp.einsum("bkij,bkj->bki", P_k, mog.means)
 
@@ -97,6 +98,67 @@ def correct_mog_for_proposal(
     means_new = jnp.linalg.solve(P_new, eta_new[..., None])[..., 0]
     chol_new = jnp.linalg.cholesky(P_new)
     return MoG(log_alpha_new, means_new, chol_new)
+
+
+def divide_mog_by_proposal_mog(
+    density_mog: MoG,
+    proposal_mog: MoG,
+    prior_natural: Optional[Tuple[Array, Array]],
+    dim: int,
+) -> MoG:
+    """Pairwise NPE-A quotient: posterior = density * prior / proposal with
+    an L-component MoG proposal -> K*L-component MoG (ref npe_a.py:495-721,
+    Appendix C of Papamakarios 2016). ``prior_natural`` is ``(P0, eta0)`` of
+    a Gaussian prior in the shared z-space, or None for uniform priors.
+
+    Per pair (k, l):
+        P_kl   = P_d,k + P0 - P_p,l
+        eta_kl = eta_d,k + eta0 - eta_p,l
+        log w_kl = log w_d,k - log w_p,l + A(P_kl, eta_kl)
+                   - A(P_d,k, eta_d,k) + A(P_p,l, eta_p,l)
+    with A the Gaussian log-partition (prior's A is constant -> dropped).
+    """
+    Pd = density_mog.precisions  # (B, K, D, D)
+    Pp = proposal_mog.precisions  # (B, L, D, D)
+    eta_d = jnp.einsum("bkij,bkj->bki", Pd, density_mog.means)
+    eta_p = jnp.einsum("blij,blj->bli", Pp, proposal_mog.means)
+    B, K = Pd.shape[:2]
+    L = Pp.shape[1]
+
+    P = Pd[:, :, None] - Pp[:, None, :]  # (B, K, L, D, D)
+    eta = eta_d[:, :, None] - eta_p[:, None, :]
+    if prior_natural is not None:
+        P0, eta0 = prior_natural
+        P = P + P0
+        eta = eta + eta0
+
+    # PD guard per pair: a density component sharper than (or equal to) the
+    # proposal component it divides produces a non-PD quotient whose
+    # epsilon-stabilized mean/weight explode (the reference raises here,
+    # npe_a.py:562-569). Dropping such pairs (weight -> -inf) keeps the
+    # valid mixture instead of failing or blowing up.
+    eigs = jnp.linalg.eigvalsh(P)
+    min_eig = jnp.min(eigs, axis=-1)  # (B, K, L)
+    valid = min_eig > 1e-4
+    P = jnp.where(valid[..., None, None], P, jnp.eye(dim))
+    eta = jnp.where(valid[..., None], eta, jnp.zeros(dim))
+
+    log_wd = jax.nn.log_softmax(density_mog.logits, -1)
+    log_wp = jax.nn.log_softmax(proposal_mog.logits, -1)
+    log_w = (
+        log_wd[:, :, None]
+        - log_wp[:, None, :]
+        + _log_partition(P, eta)
+        - _log_partition(Pd, eta_d)[:, :, None]
+        + _log_partition(Pp, eta_p)[:, None, :]
+    )
+    log_w = jnp.where(valid, log_w, -jnp.inf)
+    means = jnp.linalg.solve(P, eta[..., None])[..., 0]
+    return MoG(
+        log_w.reshape(B, K * L),
+        means.reshape(B, K * L, dim),
+        jnp.linalg.cholesky(P.reshape(B, K * L, dim, dim)),
+    )
 
 
 class NPE_A_Posterior(NeuralPosterior):
@@ -147,36 +209,42 @@ class NPE_A_Posterior(NeuralPosterior):
         else:
             prior_z = self.prior  # flat: zeros in any space
 
-        prop_z = None
         if self.proposal is not None and not (self.proposal is self.prior):
-            # Moment-match the proposal's corrected MoG to one Gaussian
-            # (classic SNPE-A uses Gaussian proposals).
             pm = self.proposal
             if isinstance(pm, NPE_A_Posterior):
+                # Full pairwise MoG division (ref npe_a.py:495-721 App. C):
+                # posterior = density * prior / proposal_mog, K*L components.
                 prop_mog = pm._corrected_mog(pm.default_x)
-                mean_zp, cov_zp = _moment_match(prop_mog)
-                if prop_mog.logits.shape[-1] > 1:
-                    warnings.warn(
-                        "NPE-A proposal MoG moment-matched to a single "
-                        "Gaussian for the analytic correction."
-                    )
-                # The proposal MoG lives in the *proposal estimator's*
-                # z-space — transport to raw theta space, then into the
-                # current estimator's z-space.
+                # Transport the proposal MoG from the proposal estimator's
+                # z-space through raw theta space into the current z-space.
+                # (NPE-A forbids retrain_from_scratch, so in practice both
+                # transforms coincide and this is a no-op.)
                 tr_p = pm.posterior_estimator.input_transform
                 scale_p = getattr(tr_p, "scale", jnp.ones(dim))
                 loc_p = getattr(tr_p, "loc", jnp.zeros(dim))
-                Sp = jnp.diag(scale_p)
-                mean_raw = mean_zp[0] * scale_p + loc_p
-                cov_raw = Sp @ cov_zp[0] @ Sp
-                P_raw = jnp.linalg.inv(cov_raw)
-                eta_raw = P_raw @ mean_raw
-                prop_z = to_z(P_raw, eta_raw)
+                a = scale_p / scale  # z_cur = (z_prop*scale_p + loc_p - loc)/scale
+                b = (loc_p - loc) / scale
+                A = jnp.diag(a)
+                Ainv = jnp.diag(1.0 / a)
+                means_z = prop_mog.means * a + b
+                # cov_z = A cov_p A^T => P_z = A^-T P_p A^-1
+                P_z = jnp.einsum(
+                    "ij,bkjl,lm->bkim", Ainv.T, prop_mog.precisions, Ainv
+                )
+                prop_mog_z = MoG(
+                    prop_mog.logits, means_z, jnp.linalg.cholesky(P_z)
+                )
+                prior_nat = (
+                    (prior_z.P, prior_z.eta)
+                    if isinstance(prior_z, _GaussSpec)
+                    else None
+                )
+                return divide_mog_by_proposal_mog(mog, prop_mog_z, prior_nat, dim)
 
         return correct_mog_for_proposal(
             mog,
             prior_z if isinstance(prior_z, _GaussSpec) else self.prior,
-            prop_z,
+            None,
             dim,
         )
 
