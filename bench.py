@@ -1,15 +1,25 @@
-"""Benchmark: posterior samples/sec with 1k vectorized slice chains.
+"""Benchmark: all three BASELINE.json metrics in one JSON line.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extras": {...}}
 
-The measured task is BASELINE.json config 3's hot loop: 1000 vectorized
+Headline metric (BASELINE.json config 3's hot loop): 1000 vectorized
 slice-sampling chains on a correlated 5-D posterior-like potential (SLCP's
 theta dim). `value` is sbi_tpu's on-device sampler on the default backend
 (TPU under the driver); `vs_baseline` divides by the reference
 implementation's throughput (`sbi/samplers/mcmc/slice_numpy.py:353`
 SliceSamplerVectorized, the numpy FSM, run on CPU from the read-only mount —
 measured once and cached in bench_baseline.json).
+
+`extras` records the other two BASELINE metrics:
+  - nsf_train_steps_per_sec: jitted NSF train step (batch 200, 5-D theta,
+    8-D x, reference default architecture) vs a PyTorch-CPU NSF of the same
+    architecture (scripts/torch_nsf_baseline.py — nflows is not installed,
+    so the baseline is an equivalent-math torch implementation).
+  - nle_slice_samples_per_sec: the REAL NLE hot loop — FSM slice chains whose
+    potential is an NSF likelihood log-prob — vs the reference numpy FSM
+    driving the torch NSF per iteration.
+Baselines are measured once on CPU and cached in bench_baseline.json.
 """
 
 from __future__ import annotations
@@ -77,33 +87,9 @@ def measure_jax() -> float:
 def measure_reference_baseline() -> float:
     """Run the reference's numpy-FSM vectorized slice sampler from the
     read-only mount (stubbing its package-internal import), on CPU."""
-    import importlib.util
-    import types
-
-    ref_path = "/root/reference/sbi/samplers/mcmc/slice_numpy.py"
-    if not os.path.exists(ref_path):
+    mod = _load_reference_slice_module()
+    if mod is None:
         return float("nan")
-
-    # Stub `sbi.simulators.simutils.tqdm_joblib` so the module loads without
-    # installing the reference package.
-    import contextlib
-
-    sbi_pkg = types.ModuleType("sbi")
-    sims_pkg = types.ModuleType("sbi.simulators")
-    simutils = types.ModuleType("sbi.simulators.simutils")
-
-    @contextlib.contextmanager
-    def tqdm_joblib(arg):
-        yield arg
-
-    simutils.tqdm_joblib = tqdm_joblib
-    sys.modules.setdefault("sbi", sbi_pkg)
-    sys.modules.setdefault("sbi.simulators", sims_pkg)
-    sys.modules["sbi.simulators.simutils"] = simutils
-
-    spec = importlib.util.spec_from_file_location("ref_slice_numpy", ref_path)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
 
     # Fewer samples (the FSM is slow); rate extrapolates linearly.
     n_chains = NUM_CHAINS
@@ -125,29 +111,232 @@ def measure_reference_baseline() -> float:
     return n_chains * per_chain / elapsed
 
 
-def get_baseline() -> float:
+THETA_DIM = 5
+X_DIM = 8
+TRAIN_BATCH = 200
+TRAIN_STEPS = 60
+NLE_CHAINS = 1000
+NLE_WARMUP = 10
+NLE_SAMPLES = 5
+
+
+def measure_jax_train() -> float:
+    """Jitted NSF train steps/sec, reference default arch + TrainConfig
+    defaults (batch 200, Adam 5e-4, clip 5.0). Uses the trainer's real path:
+    a `lax.scan` over batches (trainers/base.py one_epoch), timed per step."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from sbi_tpu.neural_nets.net_builders.flow import build_nsf
+
+    key = jax.random.PRNGKey(0)
+    theta = jax.random.normal(key, (TRAIN_BATCH * 4, THETA_DIM))
+    x = jax.random.normal(jax.random.fold_in(key, 1), (TRAIN_BATCH * 4, X_DIM))
+    est = build_nsf(theta, x, key=key)
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(5e-4))
+    params = est.params
+    opt_state = tx.init(params)
+    n_batches = TRAIN_STEPS
+    idx = jax.random.randint(
+        jax.random.fold_in(key, 2), (n_batches, TRAIN_BATCH), 0, theta.shape[0]
+    )
+
+    @jax.jit
+    def run_epoch(params, opt_state):
+        def body(carry, bidx):
+            p, s = carry
+
+            def mean_loss(p_):
+                return est.loss_fn(p_, theta[bidx], x[bidx]).mean()
+
+            loss, g = jax.value_and_grad(mean_loss)(p)
+            updates, s = tx.update(g, s, p)
+            p = optax.apply_updates(p, updates)
+            return (p, s), loss
+
+        (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), idx)
+        return params, opt_state, losses
+
+    p, s, l = run_epoch(params, opt_state)
+    jax.block_until_ready(l)
+    t0 = time.perf_counter()
+    p, s, l = run_epoch(params, opt_state)
+    jax.block_until_ready(l)
+    return n_batches / (time.perf_counter() - t0)
+
+
+def measure_jax_nle_slice() -> float:
+    """FSM slice chains on an NSF likelihood potential — the real NLE/NRE
+    sampling hot loop (one batched flow eval per FSM iteration)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sbi_tpu.neural_nets.net_builders.flow import build_nsf
+    from sbi_tpu.samplers.mcmc.slice_jax import run_slice_vectorized
+
+    key = jax.random.PRNGKey(0)
+    xb = jax.random.normal(key, (256, X_DIM))
+    tb = jax.random.normal(jax.random.fold_in(key, 1), (256, THETA_DIM))
+    est = build_nsf(xb, tb, key=key)  # p(x | theta)
+    params = est.params
+    x_o = jax.random.normal(jax.random.fold_in(key, 2), (X_DIM,))
+
+    def potential(theta):
+        B = theta.shape[0]
+        x_rep = jnp.broadcast_to(x_o, (1, B, X_DIM))
+        lp = est.log_prob_fn(params, x_rep, theta)[0]
+        return lp - 0.5 * (theta**2).sum(-1)
+
+    inits = jax.random.normal(jax.random.fold_in(key, 3), (NLE_CHAINS, THETA_DIM))
+
+    def run(k):
+        return run_slice_vectorized(
+            potential,
+            inits,
+            num_samples=NLE_SAMPLES,
+            warmup_steps=NLE_WARMUP,
+            init_width=1.0,
+            key=k,
+        )
+
+    run(jax.random.PRNGKey(1)).block_until_ready()
+    t0 = time.perf_counter()
+    run(jax.random.PRNGKey(2)).block_until_ready()
+    return NLE_CHAINS * NLE_SAMPLES / (time.perf_counter() - t0)
+
+
+def measure_reference_nle_slice_baseline() -> float:
+    """Reference numpy FSM driving a torch NSF likelihood per iteration."""
+    mod = _load_reference_slice_module()
+    if mod is None:
+        return float("nan")
+    import importlib.util as _u
+
+    spec = _u.spec_from_file_location(
+        "torch_nsf_baseline",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts", "torch_nsf_baseline.py"),
+    )
+    tmod = _u.module_from_spec(spec)
+    spec.loader.exec_module(tmod)
+    flow_potential = tmod.make_flow_potential(THETA_DIM, X_DIM)
+
+    def potential(theta):
+        d = np.atleast_2d(theta)
+        return flow_potential(d) - 0.5 * (d**2).sum(-1)
+
+    n_chains = NLE_CHAINS
+    per_chain = 2
+    sampler = mod.SliceSamplerVectorized(
+        log_prob_fn=potential,
+        init_params=np.random.randn(n_chains, THETA_DIM).astype(np.float32),
+        num_chains=n_chains,
+        tuning=NLE_WARMUP,
+        verbose=False,
+        init_width=1.0,
+    )
+    t0 = time.perf_counter()
+    sampler.run(per_chain)
+    return n_chains * per_chain / (time.perf_counter() - t0)
+
+
+def measure_torch_train_baseline() -> float:
+    import importlib.util as _u
+
+    spec = _u.spec_from_file_location(
+        "torch_nsf_baseline",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts", "torch_nsf_baseline.py"),
+    )
+    tmod = _u.module_from_spec(spec)
+    spec.loader.exec_module(tmod)
+    return tmod.measure_train_steps_per_sec(THETA_DIM, X_DIM, TRAIN_BATCH)
+
+
+def _load_reference_slice_module():
+    """Load the reference's slice_numpy.py from the read-only mount with its
+    package-internal import stubbed. Returns None if the mount is absent."""
+    import contextlib
+    import importlib.util
+    import types
+
+    ref_path = "/root/reference/sbi/samplers/mcmc/slice_numpy.py"
+    if not os.path.exists(ref_path):
+        return None
+
+    sbi_pkg = types.ModuleType("sbi")
+    sims_pkg = types.ModuleType("sbi.simulators")
+    simutils = types.ModuleType("sbi.simulators.simutils")
+
+    @contextlib.contextmanager
+    def tqdm_joblib(arg):
+        yield arg
+
+    simutils.tqdm_joblib = tqdm_joblib
+    sys.modules.setdefault("sbi", sbi_pkg)
+    sys.modules.setdefault("sbi.simulators", sims_pkg)
+    sys.modules["sbi.simulators.simutils"] = simutils
+
+    spec = importlib.util.spec_from_file_location("ref_slice_numpy", ref_path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def get_baselines() -> dict:
+    cache = {}
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
-            return json.load(f)["samples_per_sec"]
-    value = measure_reference_baseline()
-    try:
-        with open(BASELINE_CACHE, "w") as f:
-            json.dump({"samples_per_sec": value, "config": {
-                "num_chains": NUM_CHAINS, "dim": DIM, "tuning": WARMUP,
-            }}, f)
-    except OSError:
-        pass
-    return value
+            cache = json.load(f)
+    changed = False
+    if "samples_per_sec" not in cache:
+        cache["samples_per_sec"] = measure_reference_baseline()
+        cache["config"] = {"num_chains": NUM_CHAINS, "dim": DIM, "tuning": WARMUP}
+        changed = True
+    if "train_steps_per_sec" not in cache:
+        try:
+            cache["train_steps_per_sec"] = measure_torch_train_baseline()
+        except Exception:
+            cache["train_steps_per_sec"] = float("nan")
+        changed = True
+    if "nle_samples_per_sec" not in cache:
+        try:
+            cache["nle_samples_per_sec"] = measure_reference_nle_slice_baseline()
+        except Exception:
+            cache["nle_samples_per_sec"] = float("nan")
+        changed = True
+    if changed:
+        try:
+            with open(BASELINE_CACHE, "w") as f:
+                json.dump(cache, f)
+        except OSError:
+            pass
+    return cache
+
+
+def _ratio(value, baseline):
+    return round(value / baseline, 2) if baseline == baseline and baseline else None
 
 
 def main():
     value = measure_jax()
-    baseline = get_baseline()
+    baselines = get_baselines()
+    train_v = measure_jax_train()
+    nle_v = measure_jax_nle_slice()
     out = {
         "metric": "posterior_samples_per_sec_1k_slice_chains",
         "value": round(value, 1),
         "unit": "samples/sec",
-        "vs_baseline": round(value / baseline, 2) if baseline == baseline else None,
+        "vs_baseline": _ratio(value, baselines.get("samples_per_sec", float("nan"))),
+        "extras": {
+            "nsf_train_steps_per_sec": {
+                "value": round(train_v, 1),
+                "vs_baseline": _ratio(train_v, baselines.get("train_steps_per_sec", float("nan"))),
+            },
+            "nle_slice_samples_per_sec": {
+                "value": round(nle_v, 1),
+                "vs_baseline": _ratio(nle_v, baselines.get("nle_samples_per_sec", float("nan"))),
+            },
+        },
     }
     print(json.dumps(out))
 

@@ -1,6 +1,6 @@
 """MCMC samplers (ref `sbi/samplers/mcmc/__init__.py`)."""
 
-from .hmc import run_hmc, run_nuts
+from .hmc import run_hmc, run_nuts, run_nuts_jittered
 from .init_strategy import (
     IterateParameters,
     proposal_init,
@@ -21,6 +21,7 @@ __all__ = [
     "run_slice_vectorized",
     "run_hmc",
     "run_nuts",
+    "run_nuts_jittered",
     "proposal_init",
     "sir_init",
     "resample_given_potential_fn",

@@ -88,7 +88,24 @@ def run_hmc(
         theta = jnp.where(accept, theta_new, theta)
         return theta, jnp.exp(log_alpha)
 
-    # ---- warmup: dual averaging on step size + mass adaptation --------------
+    return _run_adaptive(
+        hmc_step, inits, num_samples, thin, warmup_steps, target_accept, key
+    )
+
+
+def _run_adaptive(
+    step_fn: Callable,
+    inits: Array,
+    num_samples: int,
+    thin: int,
+    warmup_steps: int,
+    target_accept: float,
+    key: Array,
+) -> Array:
+    """Shared warmup (dual-averaging step size + diagonal mass EMA) and
+    sampling phases. ``step_fn(theta, key, step_size, inv_mass) -> (theta,
+    alpha)`` operates on a single chain; chains are vmapped."""
+    C, D = inits.shape
     mu = jnp.log(10.0 * 0.1)
     gamma, t0, kappa = 0.05, 10.0, 0.75
 
@@ -98,9 +115,9 @@ def run_hmc(
         keys = jax.random.split(k, C)
         step_size = jnp.exp(log_eps)
         inv_mass = jnp.clip(m2_var, 1e-4)
-        theta, alphas = jax.vmap(lambda th, kk: hmc_step(th, kk, step_size, inv_mass))(
-            theta, keys
-        )
+        theta, alphas = jax.vmap(
+            lambda th, kk: step_fn(th, kk, step_size, inv_mass)
+        )(theta, keys)
         alpha = jnp.mean(alphas)
         # dual averaging
         t = t + 1.0
@@ -142,9 +159,9 @@ def run_hmc(
     def sample_phase(theta, k):
         def body(th, kk):
             keys = jax.random.split(kk, C)
-            th, _ = jax.vmap(lambda t_, k_: hmc_step(t_, k_, step_size, inv_mass))(
-                th, keys
-            )
+            th, _ = jax.vmap(
+                lambda t_, k_: step_fn(t_, k_, step_size, inv_mass)
+            )(th, keys)
             return th, th
 
         keys = jax.random.split(k, num_samples * thin)
@@ -157,6 +174,15 @@ def run_hmc(
     return draws[:num_samples]
 
 
+def _is_uturn(theta_later, theta_earlier, mom_later, mom_earlier, inv_mass):
+    """Generalized U-turn criterion between the two ends of a trajectory
+    segment (velocities v = M^{-1} m; Hoffman & Gelman 2014, Eq. 9)."""
+    dtheta = theta_later - theta_earlier
+    return (jnp.dot(dtheta, inv_mass * mom_earlier) < 0.0) | (
+        jnp.dot(dtheta, inv_mass * mom_later) < 0.0
+    )
+
+
 def run_nuts(
     potential_fn: Callable[[Array], Array],
     inits: Array,
@@ -167,12 +193,180 @@ def run_nuts(
     target_accept: float = 0.8,
     key: Optional[Array] = None,
 ) -> Array:
-    """Fixed-shape NUTS approximation: HMC with trajectory length jittered
-    uniformly in [1, 2^max_tree_depth] per step (multinomial HMC), which has
-    the same stationary distribution and similar mixing on TPU-friendly
-    static shapes."""
+    """Tree-based multinomial NUTS with iterative tree doubling on
+    fixed-shape buffers (replacing the reference's Pyro/PyMC delegation,
+    `sbi/inference/posteriors/mcmc_posterior.py:48-56`).
+
+    Per step: doubling proceeds to ``max_tree_depth``; each subtree of
+    2^depth leaves is built by an inner ``lax.while_loop`` of single
+    leapfrog steps with progressive multinomial sampling. Sub-subtree
+    U-turns are detected with the popcount-indexed checkpoint scheme
+    (O(max_depth) state buffers, the standard accelerator-friendly
+    formulation of iterative NUTS): leaf ``n`` (0-based, even) is stored at
+    checkpoint slot ``popcount(n)``; at odd leaf ``n`` with ``j`` trailing
+    one-bits, U-turns are checked against slots ``popcount(n)-j ..
+    popcount(n)-1``, which hold exactly the left endpoints of every
+    complete subtree ending at ``n``. All chains advance as one vmapped XLA
+    while_loop; divergences (energy error > 1000) discard the subtree.
+    """
     key = next_key(key)
-    # Jittered path lengths: resample num_leapfrog per phase from the range.
+    inits = jnp.asarray(inits, jnp.float32)
+    _, D = inits.shape
+    max_depth = int(max_tree_depth)
+
+    def logp_single(th):
+        return potential_fn(th[None])[0]
+
+    logp_grad = jax.value_and_grad(logp_single)
+
+    def leapfrog1(th, m, g, eps, inv_mass):
+        m = m + 0.5 * eps * g
+        th = th + eps * inv_mass * m
+        lp, g = logp_grad(th)
+        m = m + 0.5 * eps * g
+        return th, m, lp, g
+
+    def nuts_step(theta, k, step_size, inv_mass):
+        k_mom, k_loop = jax.random.split(k)
+        mom = jax.random.normal(k_mom, (D,)) * jnp.sqrt(1.0 / inv_mass)
+        lp0, g0 = logp_grad(theta)
+        h0 = lp0 - 0.5 * jnp.sum(inv_mass * mom**2)
+
+        def build_subtree(edge, depth, direction, k_sub):
+            """2^depth leapfrog steps from `edge` in `direction`. Returns
+            (new_edge, prop_sub, log_w_sub, turning|diverging, sum_alpha,
+            n_alpha)."""
+            th_e, m_e, g_e = edge
+            eps = direction * step_size
+            n_leaves = jnp.left_shift(1, depth)
+            ckpt_th = jnp.zeros((max_depth, D))
+            ckpt_m = jnp.zeros((max_depth, D))
+
+            def cond(c):
+                n, *_ , bad = c
+                return (n < n_leaves) & ~bad
+
+            def body(c):
+                (n, th, m, g, log_w, prop, kk, s_alpha, n_alpha,
+                 c_th, c_m, bad) = c
+                th, m, lp, g = leapfrog1(th, m, g, eps, inv_mass)
+                h = lp - 0.5 * jnp.sum(inv_mass * m**2)
+                w_leaf = h - h0
+                diverging = (w_leaf < -1000.0) | jnp.isnan(w_leaf)
+                s_alpha = s_alpha + jnp.exp(jnp.minimum(0.0, jnp.where(jnp.isnan(w_leaf), -jnp.inf, w_leaf)))
+                n_alpha = n_alpha + 1.0
+                # progressive multinomial sampling within the subtree
+                new_log_w = jnp.logaddexp(log_w, w_leaf)
+                kk, k_sel = jax.random.split(kk)
+                take = jnp.log(jax.random.uniform(k_sel)) < (w_leaf - new_log_w)
+                prop = jnp.where(take, th, prop)
+                # checkpoint store (even leaf) / U-turn checks (odd leaf)
+                n_u = n.astype(jnp.uint32)
+                pc = jax.lax.population_count(n_u).astype(jnp.int32)
+                is_even = (n % 2) == 0
+                slot = jnp.clip(pc, 0, max_depth - 1)
+                c_th = jnp.where(is_even, c_th.at[slot].set(th), c_th)
+                c_m = jnp.where(is_even, c_m.at[slot].set(m), c_m)
+                # trailing ones of n
+                j = jax.lax.population_count(
+                    (n_u & ~(n_u + 1))
+                ).astype(jnp.int32)
+                lo = pc - j
+                hi = pc - 1
+                slots = jnp.arange(max_depth)
+                in_range = (~is_even) & (slots >= lo) & (slots <= hi)
+                turns = jax.vmap(
+                    lambda ct, cm: _is_uturn(th, ct, m, cm, inv_mass)
+                )(c_th, c_m)
+                turning = jnp.any(in_range & turns)
+                bad = bad | diverging | turning
+                return (n + 1, th, m, g, new_log_w, prop, kk, s_alpha,
+                        n_alpha, c_th, c_m, bad)
+
+            init = (jnp.int32(0), th_e, m_e, g_e, -jnp.inf, th_e, k_sub,
+                    0.0, 0.0, ckpt_th, ckpt_m, False)
+            (n, th, m, g, log_w, prop, _, s_alpha, n_alpha, _, _, bad) = (
+                jax.lax.while_loop(cond, body, init)
+            )
+            return (th, m, g), prop, log_w, bad, s_alpha, n_alpha
+
+        def cond(c):
+            depth, done = c[0], c[-1]
+            return (depth < max_depth) & ~done
+
+        def body(c):
+            (depth, minus, plus, prop, log_w, kk, s_alpha, n_alpha,
+             done) = c
+            kk, k_dir, k_sub, k_merge = jax.random.split(kk, 4)
+            direction = jnp.where(jax.random.bernoulli(k_dir), 1.0, -1.0)
+            edge = jax.tree.map(
+                lambda a, b: jnp.where(direction > 0, a, b), plus, minus
+            )
+            new_edge, prop_sub, log_w_sub, bad, sa, na = build_subtree(
+                edge, depth, direction, k_sub
+            )
+            s_alpha = s_alpha + sa
+            n_alpha = n_alpha + na
+            # On a bad (turning/diverging) subtree the whole subtree is
+            # rejected and doubling stops.
+            plus = jax.tree.map(
+                lambda old, new: jnp.where((direction > 0) & ~bad, new, old),
+                plus, new_edge,
+            )
+            minus = jax.tree.map(
+                lambda old, new: jnp.where((direction < 0) & ~bad, new, old),
+                minus, new_edge,
+            )
+            # biased progressive sampling across the doubling
+            take = (
+                jnp.log(jax.random.uniform(k_merge)) < (log_w_sub - log_w)
+            ) & ~bad
+            prop = jnp.where(take, prop_sub, prop)
+            log_w = jnp.where(bad, log_w, jnp.logaddexp(log_w, log_w_sub))
+            # U-turn across the full trajectory
+            th_p, m_p, _ = plus
+            th_m, m_m, _ = minus
+            full_turn = _is_uturn(th_p, th_m, m_p, m_m, inv_mass)
+            done = done | bad | full_turn
+            return (depth + 1, minus, plus, prop, log_w, kk, s_alpha,
+                    n_alpha, done)
+
+        state0 = (
+            jnp.int32(0),
+            (theta, mom, g0),
+            (theta, mom, g0),
+            theta,
+            0.0,  # log weight of the root leaf: h0 - h0
+            k_loop,
+            0.0,
+            0.0,
+            False,
+        )
+        (_, _, _, prop, _, _, s_alpha, n_alpha, _) = jax.lax.while_loop(
+            cond, body, state0
+        )
+        alpha = s_alpha / jnp.maximum(n_alpha, 1.0)
+        return prop, alpha
+
+    return _run_adaptive(
+        nuts_step, inits, num_samples, thin, warmup_steps, target_accept, key
+    )
+
+
+def run_nuts_jittered(
+    potential_fn: Callable[[Array], Array],
+    inits: Array,
+    num_samples: int,
+    thin: int = 1,
+    warmup_steps: int = 200,
+    max_tree_depth: int = 6,
+    target_accept: float = 0.8,
+    key: Optional[Array] = None,
+) -> Array:
+    """Jittered-trajectory multinomial HMC (the round-1 NUTS surrogate,
+    kept for cross-validation): same stationary distribution, fixed
+    trajectory budget, no per-sample tree adaptation."""
+    key = next_key(key)
     num_leapfrog = int(2 ** (max_tree_depth - 1))
     return run_hmc(
         potential_fn,

@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from sbi_tpu.samplers.mcmc.hmc import run_hmc
+from sbi_tpu.samplers.mcmc.hmc import run_hmc, run_nuts
 from sbi_tpu.samplers.mcmc.init_strategy import (
     proposal_init,
     resample_given_potential_fn,
@@ -32,8 +32,9 @@ def logp(th):
 
 
 @pytest.mark.parametrize(
-    "runner", [run_slice_vectorized_fsm, run_slice_vectorized_sweep, run_hmc],
-    ids=["slice-fsm", "slice-sweep", "hmc"],
+    "runner",
+    [run_slice_vectorized_fsm, run_slice_vectorized_sweep, run_hmc, run_nuts],
+    ids=["slice-fsm", "slice-sweep", "hmc", "nuts"],
 )
 def test_mcmc_exactness(runner):
     inits = jax.random.normal(jax.random.PRNGKey(0), (50, 2))
@@ -136,8 +137,9 @@ def test_mcmc_bimodal_mode_weights(runner):
 
 
 @pytest.mark.parametrize(
-    "runner", [run_slice_vectorized_fsm, run_slice_vectorized_sweep, run_hmc],
-    ids=["slice-fsm", "slice-sweep", "hmc"],
+    "runner",
+    [run_slice_vectorized_fsm, run_slice_vectorized_sweep, run_hmc, run_nuts],
+    ids=["slice-fsm", "slice-sweep", "hmc", "nuts"],
 )
 def test_mcmc_banana_moments(runner):
     """Curved ridge: E[y] = E[x^2] = 1, Var[x] = 1."""
