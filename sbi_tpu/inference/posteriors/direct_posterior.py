@@ -8,6 +8,7 @@ normalizer (`:301-379`), cached `leakage_correction` (`:459-516`).
 
 from __future__ import annotations
 
+import warnings
 from functools import partial
 from typing import Optional, Tuple
 
@@ -60,6 +61,7 @@ class DirectPosterior(NeuralPosterior):
         key=None,
         max_sampling_batch_size: Optional[int] = None,
         show_progress_bars: bool = False,
+        max_sampling_time: Optional[float] = None,
         **kwargs,
     ) -> Array:
         key = next_key(key)
@@ -92,6 +94,7 @@ class DirectPosterior(NeuralPosterior):
             key=key,
             sample_batch_size=min(batch, max(num_samples, 1000)),
             warn_acceptance=0.01,
+            max_sampling_time=max_sampling_time,
             alternative_method="build_posterior(..., sample_with='mcmc')",
         )
         return samples.reshape(tuple(sample_shape) + est.input_shape)
@@ -102,6 +105,7 @@ class DirectPosterior(NeuralPosterior):
         x: Array,
         key=None,
         max_sampling_batch_size: Optional[int] = None,
+        max_rejection_rounds: int = 1000,
         **kwargs,
     ) -> Array:
         """Vectorized over a batch of observations: (sample..., B, D).
@@ -142,22 +146,39 @@ class DirectPosterior(NeuralPosterior):
 
         collected = jnp.zeros((S, B, D))
         counts = jnp.zeros((B,), jnp.int32)
-        for _ in range(1000):
+        for _ in range(max_rejection_rounds):
             key, sub = jax.random.split(key)
             collected, counts = round_fn(collected, counts, sub)
             if int(counts.min()) >= S:
                 break
-        if int(counts.min()) < S:
-            # Mirrors accept_reject_sample's leakage warning instead of
-            # silently returning zero-padded rows.
-            worst = int(counts.min())
+        worst = int(counts.min())
+        if worst == 0:
             raise RuntimeError(
-                f"sample_batched: only {worst}/{S} samples accepted for the "
-                "worst observation after the sampling budget was exhausted — "
-                "the posterior leaks (almost) all mass outside the prior "
-                "support for at least one x. Retrain or use "
-                "sample_with='mcmc'."
+                f"sample_batched: no samples accepted for at least one "
+                "observation after the sampling budget was exhausted — the "
+                "posterior leaks (almost) all mass outside the prior support "
+                "for that x. Retrain or use sample_with='mcmc'."
             )
+        if worst < S:
+            # The reference's accept_reject_sample warns on low acceptance
+            # and keeps looping (rejection.py:286-340, unbounded by
+            # default); with a fixed budget we warn and fill the starved
+            # rows by resampling each observation's accepted draws with
+            # replacement, which preserves the (leaky-)posterior
+            # distribution, unlike zero padding.
+            warnings.warn(
+                f"sample_batched: only {worst}/{S} unique samples accepted "
+                "for the worst observation within the sampling budget "
+                "(acceptance < "
+                f"{worst / (max_rejection_rounds * per_round):.2e}). Starved rows were "
+                "filled by resampling accepted draws with replacement; "
+                "consider sample_with='mcmc' for these observations."
+            )
+            key, sub = jax.random.split(key)
+            fill_idx = jax.random.randint(sub, (S, B), 0, jnp.maximum(counts, 1))
+            row_ids = jnp.broadcast_to(jnp.arange(S)[:, None], (S, B))
+            idx = jnp.where(row_ids < counts[None, :], row_ids, fill_idx)
+            collected = jnp.take_along_axis(collected, idx[:, :, None], axis=0)
         return collected.reshape(tuple(sample_shape) + (B, D))
 
     # ---------------------------------------------------------------- log_prob

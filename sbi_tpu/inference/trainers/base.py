@@ -276,6 +276,21 @@ class NeuralInference(ABC):
             dt = (time.time() - t0) / n_this
             train_losses = np.asarray(train_losses)
             val_losses = np.asarray(val_losses)
+            # Loss-level finite guard (ref assert_all_finite inside losses,
+            # `npe_c.py:399-419`, `utils/torchutils.py:639`). Losses live in
+            # a fused on-device scan, so the check runs where they first
+            # materialize on host — a NaN cannot silently propagate past a
+            # chunk boundary.
+            if not (
+                np.isfinite(train_losses[:n_this]).all()
+                and np.isfinite(val_losses[:n_this]).all()
+            ):
+                raise AssertionError(
+                    "NaN/Inf present in training or validation loss "
+                    f"(epochs {self._epoch}..{self._epoch + n_this}). "
+                    "Check simulations for invalid values, consider "
+                    "z-scoring, or lower the learning rate."
+                )
             for i in range(n_this):
                 self._epoch += 1
                 self._val_loss = float(val_losses[i])

@@ -31,6 +31,7 @@ def accept_reject_sample(
     warn_acceptance: float = 0.01,
     sample_batch_size: int = 10_000,
     max_sampling_batches: int = 10_000,
+    max_sampling_time: Optional[float] = None,
     proposal_sampling_kwargs: Optional[dict] = None,
     alternative_method: Optional[str] = None,
     **kwargs,
@@ -43,8 +44,12 @@ def accept_reject_sample(
     Returns:
         (samples (num_samples, ...), acceptance_rate scalar).
 
-    Ref `rejection.py:231-457` (leakage warnings, batch resizing).
+    Ref `rejection.py:231-457` (leakage warnings, batch resizing,
+    `max_sampling_time` timeout with partial return `rejection.py:286-340`).
     """
+    import time as _time
+
+    t_start = _time.monotonic()
     key = next_key(key)
     proposal_sampling_kwargs = proposal_sampling_kwargs or {}
 
@@ -86,6 +91,16 @@ def accept_reject_sample(
             warnings.warn(
                 f"Reached max_sampling_batches={max_sampling_batches}; returning "
                 f"{num_accepted} (<{num_samples}) samples."
+            )
+            break
+        if (
+            max_sampling_time is not None
+            and _time.monotonic() - t_start > max_sampling_time
+        ):
+            warnings.warn(
+                f"Stopped after max_sampling_time={max_sampling_time}s; "
+                f"returning {min(num_accepted, num_samples)} "
+                f"(<={num_samples}) samples."
             )
             break
 

@@ -1,0 +1,184 @@
+"""Round-2 benchmark runner (TPU backend): drive mini-sbibm C2ST vs the
+reference's golden posteriors with larger simulation budgets.
+
+Simulations are on-device and effectively free in this framework, so the
+statistical push uses bigger budgets than the reference's CPU-bound 2k
+default (recorded honestly in the num_simulations column).
+
+Usage: python scripts/bm_round2.py EXPERIMENT [out_csv]
+  EXPERIMENT in {snle_slcp, snle_tm, npe_tm, nle_gl, nle_mvg, tsnpe_tm, ...}
+"""
+
+import csv
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+import jax
+
+# The estimator nets are tiny (50-unit conditioners); statistical quality
+# matters far more than matmul throughput, so force fp32 MXU accumulation
+# (TPU default is bf16 inputs, which measurably degrades flow C2ST).
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import jax.numpy as jnp
+import jax.random as jr
+
+from sbi_tpu.utils.metrics import c2st
+from sbi_tpu.utils.sbiutils import seed_all_backends
+from mini_sbibm.base_task import get_bench_task
+
+MCMC_KW = dict(num_chains=100, warmup_steps=100)
+
+
+def _eval(posterior, bench, i, n=2000, mcmc=False):
+    ref = bench.get_reference_posterior_samples(i)[:n]
+    kw = dict(MCMC_KW) if mcmc else {}
+    samples = posterior.sample((n,), key=jr.PRNGKey(10 + i), **kw)
+    return float(c2st(samples, ref)), samples
+
+
+def run_sequential_nle(task, rounds, per_round, obs_list=(0, 1, 2)):
+    from sbi_tpu.inference import NLE_A
+
+    bench = get_bench_task(task)
+    prior = bench.prior
+    scores = []
+    for i in obs_list:
+        t0 = time.time()
+        seed_all_backends(i)
+        x_o = bench.get_observation(i)
+        inference = NLE_A(prior=prior)
+        proposal = prior
+        for r in range(rounds):
+            if r == 0:
+                theta = proposal.sample(jr.PRNGKey(100 * i + r), (per_round,))
+            else:
+                theta = proposal.sample(
+                    (per_round,), key=jr.PRNGKey(100 * i + r), **MCMC_KW
+                )
+            x = bench.simulator(theta, key=jr.PRNGKey(200 * i + r))
+            inference.append_simulations(theta, x)
+            inference.train(training_batch_size=100, epoch_chunk=10)
+            posterior = inference.build_posterior().set_default_x(x_o)
+            proposal = posterior
+        s, _ = _eval(posterior, bench, i, mcmc=True)
+        scores.append(s)
+        print(f"  obs {i}: c2st={s:.4f} ({time.time()-t0:.0f}s)", flush=True)
+    return scores
+
+
+def run_amortized(task, method, num_simulations, obs_list=(0, 1, 2), **est_kw):
+    from sbi_tpu.inference import NLE_A, NPE, NRE_B
+    from sbi_tpu.neural_nets.factory import posterior_nn
+
+    bench = get_bench_task(task)
+    prior = bench.prior
+    seed_all_backends(0)
+    theta = prior.sample(jr.PRNGKey(0), (num_simulations,))
+    x = bench.simulator(theta, key=jr.PRNGKey(1))
+    if method == "npe":
+        est = posterior_nn("nsf", **est_kw) if est_kw else "nsf"
+        inference = NPE(prior=prior, density_estimator=est)
+    elif method == "nle":
+        inference = NLE_A(prior=prior)
+    else:
+        inference = NRE_B(prior=prior)
+    inference.append_simulations(theta, x)
+    inference.train(training_batch_size=100, epoch_chunk=10)
+    scores = []
+    for i in obs_list:
+        x_o = bench.get_observation(i)
+        posterior = inference.build_posterior().set_default_x(x_o)
+        s, _ = _eval(posterior, bench, i, mcmc=method in ("nle", "nre"))
+        scores.append(s)
+        print(f"  obs {i}: c2st={s:.4f}", flush=True)
+    return scores
+
+
+def run_tsnpe(task, rounds, per_round, obs_list=(0, 1, 2), quantile=1e-4,
+              n_ensemble=1, **est_kw):
+    from sbi_tpu.inference import NPE
+    from sbi_tpu.neural_nets.factory import posterior_nn
+    from sbi_tpu.utils.restriction_estimator import (
+        RestrictedPrior,
+        get_density_thresholder,
+    )
+
+    bench = get_bench_task(task)
+    prior = bench.prior
+    scores = []
+    for i in obs_list:
+        t0 = time.time()
+        x_o = bench.get_observation(i)
+        ref = bench.get_reference_posterior_samples(i)[:2000]
+        per_member = []
+        n_per = 2000 // n_ensemble + (2000 % n_ensemble > 0)
+        for m in range(n_ensemble):
+            seed_all_backends(1000 * m + i)
+            est = posterior_nn("nsf", **est_kw) if est_kw else "nsf"
+            inference = NPE(prior=prior, density_estimator=est)
+            proposal = prior
+            for r in range(rounds):
+                theta = proposal.sample(jr.PRNGKey(7000 * m + 1000 * i + r), (per_round,))
+                x = bench.simulator(theta, key=jr.PRNGKey(9000 * m + 2000 * i + r))
+                inference.append_simulations(theta, x)
+                inference.train(force_first_round_loss=True,
+                                training_batch_size=100, epoch_chunk=10)
+                posterior = inference.build_posterior().set_default_x(x_o)
+                accept_fn = get_density_thresholder(
+                    posterior, quantile=quantile,
+                    key=jr.PRNGKey(3000 * m + 100 * i + r),
+                )
+                proposal = RestrictedPrior(prior, accept_fn)
+            per_member.append(
+                posterior.sample((n_per,), key=jr.PRNGKey(50 * m + 10 + i))
+            )
+        samples = jnp.concatenate(per_member)[:2000]
+        s = float(c2st(samples, ref))
+        scores.append(s)
+        print(f"  obs {i}: c2st={s:.4f} ({time.time()-t0:.0f}s)", flush=True)
+    return scores
+
+
+EXPERIMENTS = {
+    # name: (callable, label, task, num_simulations)
+    "snle_slcp": (lambda: run_sequential_nle("slcp", 10, 3000), "snle", "slcp", 30000),
+    "snle_slcp_mid": (lambda: run_sequential_nle("slcp", 6, 2000), "snle", "slcp", 12000),
+    "snle_tm": (lambda: run_sequential_nle("two_moons", 4, 2500), "snle", "two_moons", 10000),
+    "npe_tm": (lambda: run_amortized("two_moons", "npe", 10000), "npe", "two_moons", 10000),
+    "npe_tm_30k": (lambda: run_amortized("two_moons", "npe", 30000), "npe", "two_moons", 30000),
+    "nle_tm": (lambda: run_amortized("two_moons", "nle", 10000), "nle", "two_moons", 10000),
+    "nle_gl": (lambda: run_amortized("gaussian_linear", "nle", 10000), "nle", "gaussian_linear", 10000),
+    "nle_mvg": (lambda: run_amortized("linear_mvg_2d", "nle", 10000), "nle", "linear_mvg_2d", 10000),
+    "npe_gl": (lambda: run_amortized("gaussian_linear", "npe", 10000), "npe", "gaussian_linear", 10000),
+    "npe_mvg": (lambda: run_amortized("linear_mvg_2d", "npe", 10000), "npe", "linear_mvg_2d", 10000),
+    "tsnpe_tm": (lambda: run_tsnpe("two_moons", 4, 2500, n_ensemble=3), "tsnpe-ens3", "two_moons", 10000),
+    "npe_slcp_30k": (lambda: run_amortized("slcp", "npe", 30000), "npe", "slcp", 30000),
+}
+
+
+def main():
+    name = sys.argv[1]
+    out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/bm_results_round2.csv"
+    fn, label, task, sims = EXPERIMENTS[name]
+    print(f"=== {name}: {label} x {task} @ {sims} sims", flush=True)
+    t0 = time.time()
+    scores = fn()
+    mean = sum(scores) / len(scores)
+    print(f"=== {name}: mean {mean:.4f} ({time.time()-t0:.0f}s)", flush=True)
+    write_header = not os.path.exists(out)
+    with open(out, "a", newline="") as f:
+        w = csv.writer(f)
+        if write_header:
+            w.writerow(["method", "task", "num_simulations", "c2st_mean",
+                        "c2st_obs0", "c2st_obs1", "c2st_obs2"])
+        w.writerow([label, task, sims, round(mean, 4)] +
+                   [round(s, 4) for s in scores])
+
+
+if __name__ == "__main__":
+    main()
