@@ -12,6 +12,7 @@ from .flows import (
     FlowEstimator,
     FlowModule,
     UnconditionalFlowEstimator,
+    circular_rational_quadratic_spline,
     rational_quadratic_spline,
 )
 from .mdn import MixtureDensityEstimator, MoG, MultivariateGaussianMDN
@@ -53,4 +54,5 @@ __all__ = [
     "FlowEstimator",
     "RatioEstimator",
     "rational_quadratic_spline",
+    "circular_rational_quadratic_spline",
 ]

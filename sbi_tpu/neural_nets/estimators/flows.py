@@ -157,6 +157,104 @@ def rational_quadratic_spline(
     return outputs, logabsdet
 
 
+def circular_rational_quadratic_spline(
+    inputs: Array,
+    unnormalized_widths: Array,
+    unnormalized_heights: Array,
+    unnormalized_derivatives: Array,
+    unnormalized_shift: Array,
+    inverse: bool = False,
+    tail_bound: float = np.pi,
+    min_bin_width: float = DEFAULT_MIN_BIN_WIDTH,
+    min_bin_height: float = DEFAULT_MIN_BIN_HEIGHT,
+    min_derivative: float = DEFAULT_MIN_DERIVATIVE,
+) -> Tuple[Array, Array]:
+    """TRUE circular RQ spline (zuko NCSF recipe, ref
+    `net_builders/flow.py:459-1170` -> zuko CircularRQSTransform): a learned
+    circular shift followed by an RQ spline on [-B, B] whose first and last
+    knot derivatives are TIED to one learned value, so the map is smooth
+    across the periodic boundary. Values outside [-B, B] pass through
+    unchanged (the circular transform only acts on the circle).
+
+    unnormalized_derivatives: (..., K) = K-1 interior + 1 shared boundary
+    derivative. unnormalized_shift: (...,) circular shift.
+    """
+    K = unnormalized_widths.shape[-1]
+    two_b = 2.0 * tail_bound
+
+    widths = jax.nn.softmax(unnormalized_widths, axis=-1)
+    widths = min_bin_width + (1 - min_bin_width * K) * widths
+    cumwidths = jnp.cumsum(widths, axis=-1)
+    cumwidths = jnp.concatenate([jnp.zeros_like(cumwidths[..., :1]), cumwidths], -1)
+    cumwidths = (cumwidths * 2 - 1) * tail_bound
+    widths = cumwidths[..., 1:] - cumwidths[..., :-1]
+
+    heights = jax.nn.softmax(unnormalized_heights, axis=-1)
+    heights = min_bin_height + (1 - min_bin_height * K) * heights
+    cumheights = jnp.cumsum(heights, axis=-1)
+    cumheights = jnp.concatenate([jnp.zeros_like(cumheights[..., :1]), cumheights], -1)
+    cumheights = (cumheights * 2 - 1) * tail_bound
+    heights = cumheights[..., 1:] - cumheights[..., :-1]
+
+    derivs = min_derivative + jax.nn.softplus(unnormalized_derivatives)
+    d_bound = derivs[..., -1:]
+    derivatives = jnp.concatenate([d_bound, derivs[..., :-1], d_bound], -1)
+
+    shift = jnp.tanh(unnormalized_shift) * tail_bound  # bounded shift
+
+    def wrap(v):
+        return jnp.mod(v + tail_bound, two_b) - tail_bound
+
+    inside = (inputs >= -tail_bound) & (inputs <= tail_bound)
+
+    def core(x, inv):
+        ref = cumheights if inv else cumwidths
+        idx = jnp.sum((x[..., None] >= ref[..., :-1]).astype(jnp.int32), -1) - 1
+        idx = jnp.clip(idx, 0, K - 1)
+
+        def take(a, i):
+            return jnp.take_along_axis(a, i[..., None], axis=-1)[..., 0]
+
+        in_w = take(widths, idx)
+        in_cw = take(cumwidths[..., :-1], idx)
+        in_h = take(heights, idx)
+        in_ch = take(cumheights[..., :-1], idx)
+        d_k = take(derivatives[..., :-1], idx)
+        d_k1 = take(derivatives[..., 1:], idx)
+        s = in_h / in_w
+        if not inv:
+            theta = jnp.clip((x - in_cw) / in_w, 0.0, 1.0)
+            tt = theta * (1 - theta)
+            num = in_h * (s * theta**2 + d_k * tt)
+            den = s + (d_k1 + d_k - 2 * s) * tt
+            out = in_ch + num / den
+            dnum = s**2 * (d_k1 * theta**2 + 2 * s * tt + d_k * (1 - theta) ** 2)
+            ld = jnp.log(dnum) - 2 * jnp.log(den)
+        else:
+            y_rel = x - in_ch
+            a = in_h * (s - d_k) + y_rel * (d_k1 + d_k - 2 * s)
+            b = in_h * d_k - y_rel * (d_k1 + d_k - 2 * s)
+            c = -s * y_rel
+            disc = jnp.clip(b**2 - 4 * a * c, 0.0)
+            theta = jnp.clip(2 * c / (-b - jnp.sqrt(disc)), 0.0, 1.0)
+            out = theta * in_w + in_cw
+            tt = theta * (1 - theta)
+            den = s + (d_k1 + d_k - 2 * s) * tt
+            dnum = s**2 * (d_k1 * theta**2 + 2 * s * tt + d_k * (1 - theta) ** 2)
+            ld = -(jnp.log(dnum) - 2 * jnp.log(den))
+        return out, ld
+
+    x = jnp.clip(inputs, -tail_bound, tail_bound)
+    if not inverse:
+        out, ld = core(wrap(x + shift), False)
+    else:
+        out, ld = core(x, True)
+        out = wrap(out - shift)
+    outputs = jnp.where(inside, out, inputs)
+    logabsdet = jnp.where(inside, ld, jnp.zeros_like(ld))
+    return outputs, logabsdet
+
+
 # ===========================================================================
 # MADE masks
 # ===========================================================================
@@ -270,7 +368,11 @@ class MaskedAffineAutoregressive(nn.Module):
 
 
 class MaskedRQSAutoregressive(nn.Module):
-    """Autoregressive RQ-spline layer (zuko-NSF style / MAF-RQS)."""
+    """Autoregressive RQ-spline layer (zuko-NSF style / MAF-RQS).
+
+    With ``circular=True`` the univariate transform is the TRUE circular
+    spline (tied boundary derivatives + learned circular shift), i.e. the
+    zuko NCSF building block rather than a bounded-spline approximation."""
 
     dim: int
     hidden_features: int = 50
@@ -278,31 +380,41 @@ class MaskedRQSAutoregressive(nn.Module):
     num_bins: int = 10
     tail_bound: float = 3.0
     context_features: Optional[int] = None
+    circular: bool = False
 
     def setup(self):
+        # circular: K widths + K heights + K derivs (K-1 interior + 1
+        # shared boundary) + 1 shift; linear-tail: 3K-1.
+        out_mult = 3 * self.num_bins + 1 if self.circular else 3 * self.num_bins - 1
         self.made = MADENet(
             dim=self.dim,
-            out_mult=3 * self.num_bins - 1,
+            out_mult=out_mult,
             hidden_features=self.hidden_features,
             num_hidden_layers=self.num_blocks,
             context_features=self.context_features,
         )
 
-    def _spline_params(self, x, context):
-        out = self.made(x, context)  # (B, D, 3K-1)
+    def _spline(self, v, x_params, context, inverse):
+        out = self.made(x_params, context)
         K = self.num_bins
-        return out[..., :K], out[..., K:2 * K], out[..., 2 * K:]
+        w, h = out[..., :K], out[..., K:2 * K]
+        if self.circular:
+            d, s = out[..., 2 * K:3 * K], out[..., 3 * K]
+            return circular_rational_quadratic_spline(
+                v, w, h, d, s, inverse=inverse, tail_bound=self.tail_bound
+            )
+        return rational_quadratic_spline(
+            v, w, h, out[..., 2 * K:], inverse=inverse, tail_bound=self.tail_bound
+        )
 
     def forward(self, x, context=None):
-        w, h, d = self._spline_params(x, context)
-        y, ldj = rational_quadratic_spline(x, w, h, d, inverse=False, tail_bound=self.tail_bound)
+        y, ldj = self._spline(x, x, context, inverse=False)
         return y, jnp.sum(ldj, axis=-1)
 
     def inverse(self, z, context=None):
         x = jnp.zeros_like(z)
         for _ in range(self.dim):
-            w, h, d = self._spline_params(x, context)
-            x, ldj = rational_quadratic_spline(z, w, h, d, inverse=True, tail_bound=self.tail_bound)
+            x, ldj = self._spline(z, x, context, inverse=True)
         return x, jnp.sum(ldj, axis=-1)
 
 

@@ -277,9 +277,49 @@ def build_zuko_nsf(*args, **kwargs):
     return build_maf_rqs(*args, **kwargs)
 
 
-def build_zuko_ncsf(*args, **kwargs):
-    """Circular splines; approximated by bounded RQ splines for now."""
-    return build_maf_rqs(*args, **kwargs)
+def build_zuko_ncsf(
+    batch_theta,
+    batch_x,
+    z_score_theta="independent",
+    z_score_x="independent",
+    hidden_features: int = 50,
+    num_transforms: int = 5,
+    num_blocks: int = 2,
+    num_bins: int = 10,
+    tail_bound: float = float(np.pi),
+    embedding_net=None,
+    key=None,
+    **kwargs,
+):
+    """Neural Circular Spline Flow (ref zuko NCSF via
+    `net_builders/flow.py:459-1170`): autoregressive RQ splines on
+    [-tail_bound, tail_bound] with tied boundary derivatives + learned
+    circular shift, smooth across the periodic boundary — for circular
+    parameters (angles). z-scoring of theta is disabled (standardizing a
+    circular coordinate would break its period)."""
+    dim = jnp.asarray(batch_theta).shape[-1]
+    configs = []
+    for _ in range(num_transforms):
+        configs.append(
+            (
+                "rqs_ar",
+                dict(
+                    hidden_features=hidden_features,
+                    num_blocks=num_blocks,
+                    num_bins=num_bins,
+                    tail_bound=tail_bound,
+                    circular=True,
+                ),
+            )
+        )
+        if dim > 1:
+            configs.append(("permutation", dict(perm=tuple(range(dim - 1, -1, -1)))))
+    return _build_flow_estimator(
+        batch_theta, batch_x, configs, "none", z_score_x, embedding_net, key
+    )
+
+
+build_ncsf = build_zuko_ncsf
 
 
 def _monotone_builder(transform: str, default_transforms: int = 3):

@@ -8,6 +8,7 @@ MLP variant (`c2st_jax`) is provided for fully self-contained use.
 
 from __future__ import annotations
 
+import warnings
 from typing import Callable, Optional
 
 import jax
@@ -38,6 +39,19 @@ def c2st(
 
     X = np.asarray(X, dtype=np.float64)
     Y = np.asarray(Y, dtype=np.float64)
+    if X.shape[0] == 0 or Y.shape[0] == 0:
+        raise ValueError("c2st: empty sample set")
+    imbalance = max(X.shape[0], Y.shape[0]) / min(X.shape[0], Y.shape[0])
+    if imbalance > 1.1:
+        # Accuracy under class imbalance is inflated toward the majority
+        # fraction (e.g. 2:1 -> 0.667 for IDENTICAL distributions), which
+        # silently corrupts the metric.
+        warnings.warn(
+            f"c2st: unbalanced sample sets ({X.shape[0]} vs {Y.shape[0]}); "
+            "accuracy is biased toward "
+            f"{max(X.shape[0], Y.shape[0]) / (X.shape[0] + Y.shape[0]):.3f} "
+            "for identical distributions. Subsample to equal sizes."
+        )
     if z_score:
         mu, sigma = X.mean(axis=0), X.std(axis=0)
         sigma[sigma < 1e-12] = 1e-12

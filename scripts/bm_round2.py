@@ -14,10 +14,15 @@ import os
 import sys
 import time
 
+EPOCH_CHUNK = int(os.environ.get("BM_EPOCH_CHUNK", "10"))
+
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tests")
 
 import jax
+
+if os.environ.get("BM_CPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 # The estimator nets are tiny (50-unit conditioners); statistical quality
 # matters far more than matmul throughput, so force fp32 MXU accumulation
@@ -35,7 +40,9 @@ MCMC_KW = dict(num_chains=100, warmup_steps=100)
 
 
 def _eval(posterior, bench, i, n=2000, mcmc=False):
-    ref = bench.get_reference_posterior_samples(i)[:n]
+    ref = bench.get_reference_posterior_samples(i)
+    n = min(n, ref.shape[0])  # C2ST needs balanced classes
+    ref = ref[:n]
     kw = dict(MCMC_KW) if mcmc else {}
     samples = posterior.sample((n,), key=jr.PRNGKey(10 + i), **kw)
     return float(c2st(samples, ref)), samples
@@ -62,7 +69,7 @@ def run_sequential_nle(task, rounds, per_round, obs_list=(0, 1, 2)):
                 )
             x = bench.simulator(theta, key=jr.PRNGKey(200 * i + r))
             inference.append_simulations(theta, x)
-            inference.train(training_batch_size=100, epoch_chunk=10)
+            inference.train(training_batch_size=100, epoch_chunk=EPOCH_CHUNK)
             posterior = inference.build_posterior().set_default_x(x_o)
             proposal = posterior
         s, _ = _eval(posterior, bench, i, mcmc=True)
@@ -88,7 +95,7 @@ def run_amortized(task, method, num_simulations, obs_list=(0, 1, 2), **est_kw):
     else:
         inference = NRE_B(prior=prior)
     inference.append_simulations(theta, x)
-    inference.train(training_batch_size=100, epoch_chunk=10)
+    inference.train(training_batch_size=100, epoch_chunk=EPOCH_CHUNK)
     scores = []
     for i in obs_list:
         x_o = bench.get_observation(i)
@@ -114,9 +121,11 @@ def run_tsnpe(task, rounds, per_round, obs_list=(0, 1, 2), quantile=1e-4,
     for i in obs_list:
         t0 = time.time()
         x_o = bench.get_observation(i)
-        ref = bench.get_reference_posterior_samples(i)[:2000]
+        ref = bench.get_reference_posterior_samples(i)
+        n_eval = min(2000, ref.shape[0])
+        ref = ref[:n_eval]
         per_member = []
-        n_per = 2000 // n_ensemble + (2000 % n_ensemble > 0)
+        n_per = n_eval // n_ensemble + (n_eval % n_ensemble > 0)
         for m in range(n_ensemble):
             seed_all_backends(1000 * m + i)
             est = posterior_nn("nsf", **est_kw) if est_kw else "nsf"
@@ -127,7 +136,7 @@ def run_tsnpe(task, rounds, per_round, obs_list=(0, 1, 2), quantile=1e-4,
                 x = bench.simulator(theta, key=jr.PRNGKey(9000 * m + 2000 * i + r))
                 inference.append_simulations(theta, x)
                 inference.train(force_first_round_loss=True,
-                                training_batch_size=100, epoch_chunk=10)
+                                training_batch_size=100, epoch_chunk=EPOCH_CHUNK)
                 posterior = inference.build_posterior().set_default_x(x_o)
                 accept_fn = get_density_thresholder(
                     posterior, quantile=quantile,
@@ -137,7 +146,7 @@ def run_tsnpe(task, rounds, per_round, obs_list=(0, 1, 2), quantile=1e-4,
             per_member.append(
                 posterior.sample((n_per,), key=jr.PRNGKey(50 * m + 10 + i))
             )
-        samples = jnp.concatenate(per_member)[:2000]
+        samples = jnp.concatenate(per_member)[:n_eval]
         s = float(c2st(samples, ref))
         scores.append(s)
         print(f"  obs {i}: c2st={s:.4f} ({time.time()-t0:.0f}s)", flush=True)
@@ -154,6 +163,7 @@ EXPERIMENTS = {
     "nle_tm": (lambda: run_amortized("two_moons", "nle", 10000), "nle", "two_moons", 10000),
     "nle_gl": (lambda: run_amortized("gaussian_linear", "nle", 10000), "nle", "gaussian_linear", 10000),
     "nle_mvg": (lambda: run_amortized("linear_mvg_2d", "nle", 10000), "nle", "linear_mvg_2d", 10000),
+    "nle_mvg_2k": (lambda: run_amortized("linear_mvg_2d", "nle", 2000), "nle", "linear_mvg_2d", 2000),
     "npe_gl": (lambda: run_amortized("gaussian_linear", "npe", 10000), "npe", "gaussian_linear", 10000),
     "npe_mvg": (lambda: run_amortized("linear_mvg_2d", "npe", 10000), "npe", "linear_mvg_2d", 10000),
     "tsnpe_tm": (lambda: run_tsnpe("two_moons", 4, 2500, n_ensemble=3), "tsnpe-ens3", "two_moons", 10000),

@@ -143,3 +143,61 @@ def test_monotone_flow_families(name):
     # roundtrip: density of own samples finite
     lp2 = est.log_prob(s, x[:3])
     assert bool(jnp.isfinite(lp2).all())
+
+
+def test_ncsf_circular_spline():
+    """True circular NCSF: smooth across the periodic boundary, invertible,
+    fits wrapped bimodal angular data (ref zuko NCSF via
+    `net_builders/flow.py:459-1170`)."""
+    import jax.random as jr
+
+    from sbi_tpu.neural_nets.estimators.flows import (
+        circular_rational_quadratic_spline,
+    )
+    from sbi_tpu.neural_nets.net_builders.flow import build_zuko_ncsf
+
+    # elementwise invertibility of the circular spline
+    key = jr.PRNGKey(0)
+    B, K = 64, 8
+    x = jr.uniform(key, (B,), minval=-np.pi, maxval=np.pi)
+    uw = jr.normal(jr.PRNGKey(1), (B, K))
+    uh = jr.normal(jr.PRNGKey(2), (B, K))
+    ud = jr.normal(jr.PRNGKey(3), (B, K))
+    us = jr.normal(jr.PRNGKey(4), (B,))
+    y, ld = circular_rational_quadratic_spline(x, uw, uh, ud, us)
+    x_back, ld_inv = circular_rational_quadratic_spline(
+        y, uw, uh, ud, us, inverse=True
+    )
+    assert np.allclose(np.asarray(x_back), np.asarray(x), atol=1e-4)
+    assert np.allclose(np.asarray(ld + ld_inv), 0.0, atol=1e-4)
+    # outputs stay on the circle
+    assert float(jnp.abs(y).max()) <= np.pi + 1e-5
+
+    # quick fit on wrapped bimodal angles
+    n = 2000
+    xc = jr.uniform(jr.PRNGKey(5), (n, 1), minval=-1, maxval=1)
+    mode = jr.uniform(jr.PRNGKey(6), (n, 1)) < 0.5
+    phi = jnp.where(
+        mode,
+        2.7 + 0.15 * jr.normal(jr.PRNGKey(7), (n, 1)),
+        -2.7 + 0.15 * jr.normal(jr.PRNGKey(8), (n, 1)),
+    )
+    phi = jnp.mod(phi + np.pi, 2 * np.pi) - np.pi  # wraps across +-pi
+    est = build_zuko_ncsf(phi, xc, key=jr.PRNGKey(9))
+    params = est.params
+    tx = optax.adam(1e-3)
+    st = tx.init(params)
+
+    @jax.jit
+    def step(p, s):
+        l, g = jax.value_and_grad(
+            lambda pp: -est.log_prob_fn(pp, phi[None], xc).mean()
+        )(p)
+        u, s = tx.update(g, s, p)
+        return optax.apply_updates(p, u), s, l
+
+    for _ in range(300):
+        params, st, _ = step(params, st)
+    samp = est.sample_fn(params, jr.PRNGKey(10), (1000,), jnp.zeros((1, 1)))[:, 0, :]
+    frac_near_modes = float((jnp.abs(jnp.abs(samp) - 2.7) < 0.8).mean())
+    assert frac_near_modes > 0.8, frac_near_modes
