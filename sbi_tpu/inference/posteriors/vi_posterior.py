@@ -33,7 +33,23 @@ def _make_q_flow(dim: int, q: str, key):
     import numpy as np_
 
     configs = []
-    if q in ("nsf", "maf", "gaussian", "nice"):
+    if q in ("naf", "unaf"):
+        # Deep-sigmoidal monotone autoregressive q (ref zuko NAF/UNAF via
+        # `vi_posterior.py:255-341`); forward pass analytic, inverse by
+        # bisection (sampling path).
+        for _ in range(2):
+            configs.append(
+                (
+                    "monotone_ar",
+                    dict(transform="dsf", num_components=8,
+                         hidden_features=32, num_blocks=2),
+                )
+            )
+            if dim > 1:
+                configs.append(
+                    ("permutation", dict(perm=tuple(range(dim - 1, -1, -1))))
+                )
+    elif q in ("nsf", "maf", "gaussian", "nice"):
         if q == "gaussian":
             # One affine autoregressive layer = full-cov Gaussian-ish family.
             configs = [("maf", dict(hidden_features=32, num_blocks=1))]

@@ -60,30 +60,80 @@ class _Attention(nn.Module):
         return nn.Dense(self.dim, use_bias=False)(out)
 
 
+class _MoEFFN(nn.Module):
+    """Mixture-of-experts feed-forward (ref `transformer.py:521` MoE block).
+
+    Top-k softmax routing per token. TPU-dense formulation: every expert is
+    computed as one batched einsum over the expert axis (MXU-friendly, no
+    ragged dispatch) and combined with the sparse gate weights — the right
+    trade at embedding-net scale, where experts are small and the ragged
+    all-to-all of a dispatched MoE would dominate."""
+
+    dim: int
+    num_experts: int = 4
+    top_k: int = 2
+    mlp_ratio: int = 4
+
+    @nn.compact
+    def __call__(self, x):  # (B, T, D)
+        E, D, H = self.num_experts, self.dim, self.mlp_ratio * self.dim
+        gate_logits = nn.Dense(E, use_bias=False, name="router")(x)  # (B,T,E)
+        top_vals, top_idx = jax.lax.top_k(gate_logits, self.top_k)
+        gates = jax.nn.softmax(top_vals, axis=-1)  # (B,T,k)
+        # (B,T,E) sparse combine weights
+        combine = jnp.sum(
+            jax.nn.one_hot(top_idx, E) * gates[..., None], axis=-2
+        )
+        init = nn.initializers.lecun_normal()
+        w1 = self.param("w1", init, (E, D, H))
+        b1 = self.param("b1", nn.initializers.zeros, (E, H))
+        w2 = self.param("w2", init, (E, H, D))
+        b2 = self.param("b2", nn.initializers.zeros, (E, D))
+        h = nn.gelu(jnp.einsum("btd,edh->bteh", x, w1) + b1)
+        out = jnp.einsum("bteh,ehd->bted", h, w2) + b2
+        return jnp.einsum("bte,bted->btd", combine, out)
+
+
 class _Block(nn.Module):
     dim: int
     num_heads: int
     mlp_ratio: int = 4
+    ffn_type: str = "mlp"  # "mlp" | "moe"
+    num_experts: int = 4
+    top_k: int = 2
 
     @nn.compact
     def __call__(self, x):
         x = x + _Attention(self.dim, self.num_heads)(RMSNorm()(x))
         h = RMSNorm()(x)
-        h = nn.Dense(self.mlp_ratio * self.dim)(h)
-        h = nn.gelu(h)
-        h = nn.Dense(self.dim)(h)
+        if self.ffn_type == "moe":
+            h = _MoEFFN(self.dim, self.num_experts, self.top_k, self.mlp_ratio)(h)
+        else:
+            h = nn.Dense(self.mlp_ratio * self.dim)(h)
+            h = nn.gelu(h)
+            h = nn.Dense(self.dim)(h)
         return x + h
 
 
 class TransformerEmbedding(nn.Module):
-    """Sequence input (B, T) or (B, T, C) -> (B, output_dim)."""
+    """Sequence input (B, T) or (B, T, C) -> (B, output_dim).
+
+    ``patch_mode="2d"`` treats the input as an image (B, H, W) or
+    (B, H, W, C) and tokenizes non-overlapping patch_size x patch_size
+    patches (ref ViT patching `transformer.py:630`); ``ffn_type="moe"``
+    swaps the MLP for a top-k mixture-of-experts block
+    (ref `transformer.py:521`)."""
 
     input_shape: Tuple[int, ...]
     dim: int = 64
     num_heads: int = 4
     num_layers: int = 2
     output_dim: int = 20
-    patch_size: int = 1  # >1 enables ViT-style 1D patching
+    patch_size: int = 1  # >1 enables ViT-style patching
+    patch_mode: str = "1d"  # "1d" | "2d"
+    ffn_type: str = "mlp"  # "mlp" | "moe"
+    num_experts: int = 4
+    top_k: int = 2
 
     @nn.compact
     def __call__(self, x):
@@ -92,12 +142,29 @@ class TransformerEmbedding(nn.Module):
             x = x.reshape((B, self.input_shape[0], 1))
         else:
             x = x.reshape((B,) + tuple(self.input_shape))
-        if self.patch_size > 1:
+        p = self.patch_size
+        if self.patch_mode == "2d" and p > 1:
+            if x.ndim == 3:  # (B, H, W) -> (B, H, W, 1)
+                x = x[..., None]
+            _, Hh, Ww, C = x.shape
+            H2, W2 = (Hh // p) * p, (Ww // p) * p
+            x = x[:, :H2, :W2]
+            x = x.reshape(B, H2 // p, p, W2 // p, p, C)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+                B, (H2 // p) * (W2 // p), p * p * C
+            )
+        elif p > 1:
             T, C = x.shape[1], x.shape[2]
-            T2 = (T // self.patch_size) * self.patch_size
-            x = x[:, :T2].reshape(B, T2 // self.patch_size, self.patch_size * C)
+            T2 = (T // p) * p
+            x = x[:, :T2].reshape(B, T2 // p, p * C)
         h = nn.Dense(self.dim)(x)
         for _ in range(self.num_layers):
-            h = _Block(self.dim, self.num_heads)(h)
+            h = _Block(
+                self.dim,
+                self.num_heads,
+                ffn_type=self.ffn_type,
+                num_experts=self.num_experts,
+                top_k=self.top_k,
+            )(h)
         h = RMSNorm()(h).mean(axis=1)
         return nn.Dense(self.output_dim)(h)

@@ -197,7 +197,15 @@ class MonotoneAutoregressive(nn.Module):
 
             (lo, hi), _ = jax.lax.scan(body, (lo, hi), None,
                                        length=self.bisect_iters)
-            x = x.at[:, d].set(0.5 * (lo + hi))
+            # Implicit-differentiation Newton step: bisection's select chain
+            # carries NO parameter gradient (the midpoints trace back to the
+            # constant brackets), which would zero the reparameterized
+            # gradient of any sampling-path objective (VI rKL with a
+            # NAF/UNAF q). One Newton step from the stop-gradient'd root
+            # yields the exact implicit derivatives dx/dparams and dx/dy.
+            x0 = jax.lax.stop_gradient(0.5 * (lo + hi))
+            out0, dydx0 = self._fn(x0, p, self.num_components)
+            x = x.at[:, d].set(x0 - (out0 - target) / dydx0)
         p = self._params_at(x, context)
         _, dydx = self._fn(x, p, self.num_components)
         return x, -jnp.sum(jnp.log(dydx), axis=-1)

@@ -34,6 +34,14 @@ CASES = [
     ("transformer_patch", TransformerEmbedding(input_shape=SEQ, output_dim=8,
                                                dim=16, num_layers=1,
                                                patch_size=4), SEQ),
+    ("transformer_vit2d", TransformerEmbedding(input_shape=IMG, output_dim=8,
+                                               dim=16, num_layers=1,
+                                               patch_size=2,
+                                               patch_mode="2d"), IMG),
+    ("transformer_moe", TransformerEmbedding(input_shape=SEQ, output_dim=8,
+                                             dim=16, num_layers=1,
+                                             ffn_type="moe", num_experts=4,
+                                             top_k=2), SEQ),
     ("lru", LRUEmbedding(input_shape=SEQ, output_dim=8, num_layers=1), SEQ),
     ("spectral", SpectralConvEmbedding(input_shape=SEQ, output_dim=8,
                                        num_layers=1), SEQ),

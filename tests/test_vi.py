@@ -46,7 +46,7 @@ def test_vi_divergences_recover_gaussian(vi_method):
     assert np.allclose(cov, np.asarray(COV), atol=atol_c), (vi_method, cov)
 
 
-@pytest.mark.parametrize("q", ["gaussian", "nsf", "nice"])
+@pytest.mark.parametrize("q", ["gaussian", "nsf", "nice", "naf", "unaf"])
 def test_vi_q_families(q):
     seed_all_backends(0)
     vi = _make_vi("rKL", q=q)
