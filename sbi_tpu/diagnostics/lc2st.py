@@ -68,6 +68,7 @@ class LC2ST:
         posterior_samples: Array,
         seed: int = 1,
         num_ensemble: int = 1,
+        num_folds: int = 1,
         classifier: str = "mlp",
         z_score: bool = False,
         num_trials_null: int = 100,
@@ -75,12 +76,16 @@ class LC2ST:
         **classifier_kwargs,
     ):
         """Args mirror the reference: thetas/xs are calibration joint draws,
-        posterior_samples are one posterior draw per x."""
+        posterior_samples are one posterior draw per x. ``num_folds > 1``
+        enables cross-validation (ref `lc2st.py:63-300`): each fold's
+        classifier trains on the complementary K-1 folds and the local
+        statistic aggregates probabilities over all fold classifiers."""
         self.theta_p = np.asarray(thetas, np.float64)
         self.x_p = np.asarray(xs, np.float64).reshape(len(thetas), -1)
         self.theta_q = np.asarray(posterior_samples, np.float64)
         self.seed = seed
         self.num_ensemble = num_ensemble
+        self.num_folds = num_folds
         self.classifier = classifier
         self.num_trials_null = num_trials_null
         self.permutation = permutation
@@ -107,13 +112,29 @@ class LC2ST:
         clf.fit(data, labels)
         return clf
 
+    def _fold_train_indices(self):
+        """Train-split indices per fold (all data when num_folds == 1)."""
+        n = len(self.theta_p)
+        if self.num_folds <= 1:
+            return [np.arange(n)]
+        rng = np.random.RandomState(self.seed)
+        perm = rng.permutation(n)
+        folds = np.array_split(perm, self.num_folds)
+        return [
+            np.concatenate([f for j, f in enumerate(folds) if j != i])
+            for i in range(self.num_folds)
+        ]
+
     def train_on_observed_data(self, seed: Optional[int] = None):
-        """Train the ensemble distinguishing q from p (ref `train_...`)."""
+        """Train the (ensemble x fold) classifiers distinguishing q from p
+        (ref `train_...`; CV folds `lc2st.py:63-300`)."""
         seed = self.seed if seed is None else seed
         self.state.clfs = [
             self._train_single(
-                self.theta_p, self.theta_q, self.x_p, self.x_p, seed + i
+                self.theta_p[idx], self.theta_q[idx],
+                self.x_p[idx], self.x_p[idx], seed + 37 * f + i,
             )
+            for f, idx in enumerate(self._fold_train_indices())
             for i in range(self.num_ensemble)
         ]
         self.state.trained = True
@@ -123,13 +144,19 @@ class LC2ST:
         """Permutation null: shuffle class labels within pairs (ref)."""
         rng = np.random.RandomState(self.seed)
         self.state.clfs_null = []
+        fold_indices = self._fold_train_indices()
         for t in range(self.num_trials_null):
             # permute which member of each (theta_p, theta_q) pair gets which label
             swap = rng.rand(len(self.theta_p)) < 0.5
             a = np.where(swap[:, None], self.theta_q, self.theta_p)
             b = np.where(swap[:, None], self.theta_p, self.theta_q)
-            clf = self._train_single(a, b, self.x_p, self.x_p, self.seed + 1000 + t)
-            self.state.clfs_null.append(clf)
+            self.state.clfs_null.append([
+                self._train_single(
+                    a[idx], b[idx], self.x_p[idx], self.x_p[idx],
+                    self.seed + 1000 + 37 * f + t,
+                )
+                for f, idx in enumerate(fold_indices)
+            ])
         self.state.trained_null = True
         return self
 
@@ -153,8 +180,9 @@ class LC2ST:
         assert self.state.trained_null, "Call train_under_null_hypothesis() first."
         theta_o = (np.asarray(theta_o, np.float64) - self._mu) / self._sigma
         stats = []
-        for clf in self.state.clfs_null:
-            probs = self._probs([clf], theta_o, np.asarray(x_o))
+        for clfs in self.state.clfs_null:
+            clfs = clfs if isinstance(clfs, list) else [clfs]
+            probs = self._probs(clfs, theta_o, np.asarray(x_o))
             stats.append(np.mean((probs - 0.5) ** 2))
             self.scores.null.append(probs)
         return np.asarray(stats)
@@ -203,10 +231,16 @@ class LC2ST_NF(LC2ST):
         """Null trials with fresh N(0,I) vs N(0,I) — no permutation."""
         rng = np.random.RandomState(self.seed)
         self.state.clfs_null = []
+        fold_indices = self._fold_train_indices()
         for t in range(self.num_trials_null):
             a = rng.randn(*self.theta_p.shape)
             b = rng.randn(*self.theta_q.shape)
-            clf = self._train_single(a, b, self.x_p, self.x_p, self.seed + 1000 + t)
-            self.state.clfs_null.append(clf)
+            self.state.clfs_null.append([
+                self._train_single(
+                    a[idx], b[idx], self.x_p[idx], self.x_p[idx],
+                    self.seed + 1000 + 37 * f + t,
+                )
+                for f, idx in enumerate(fold_indices)
+            ])
         self.state.trained_null = True
         return self
