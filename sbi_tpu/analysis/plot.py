@@ -51,23 +51,92 @@ class ContourOptions:
     percentile: bool = True
 
 
-def _kde_1d(vals, num_points=100):
+def _kde_1d(vals, num_points=100, bw_method="scott"):
     import scipy.stats as st
 
-    kde = st.gaussian_kde(vals)
+    kde = st.gaussian_kde(vals, bw_method=bw_method)
     grid = np.linspace(vals.min(), vals.max(), num_points)
     return grid, kde(grid)
 
 
-def _hist2d_contour(ax, xs, ys, levels=(0.68, 0.95), bins=50, color="C0"):
+def _hist2d_contour(ax, xs, ys, levels=(0.68, 0.95), bins=50, color="C0",
+                    percentile=True):
+    """Credible-mass contours: levels are posterior-mass fractions when
+    `percentile` (ref ContourOptions), else raw density levels."""
     H, xe, ye = np.histogram2d(xs, ys, bins=bins)
     H = H.T
-    Hs = np.sort(H.ravel())[::-1]
-    cum = np.cumsum(Hs) / Hs.sum()
-    cuts = [Hs[np.searchsorted(cum, l)] for l in sorted(levels)]
+    if percentile:
+        Hs = np.sort(H.ravel())[::-1]
+        cum = np.cumsum(Hs) / Hs.sum()
+        cuts = [Hs[np.searchsorted(cum, l)] for l in sorted(levels)]
+        cuts = sorted(set(cuts))
+    else:
+        cuts = sorted(set(levels))
     xc = 0.5 * (xe[:-1] + xe[1:])
     yc = 0.5 * (ye[:-1] + ye[1:])
-    ax.contour(xc, yc, H, levels=sorted(set(cuts)), colors=color)
+    ax.contour(xc, yc, H, levels=cuts, colors=color)
+
+
+def _kde2d_contour(ax, xs, ys, levels=(0.68, 0.95), num_points=60,
+                   color="C0", bw_method="scott", percentile=True):
+    import scipy.stats as st
+
+    kde = st.gaussian_kde(np.vstack([xs, ys]), bw_method=bw_method)
+    gx = np.linspace(xs.min(), xs.max(), num_points)
+    gy = np.linspace(ys.min(), ys.max(), num_points)
+    X, Y = np.meshgrid(gx, gy)
+    Z = kde(np.vstack([X.ravel(), Y.ravel()])).reshape(X.shape)
+    if percentile:
+        Zs = np.sort(Z.ravel())[::-1]
+        cum = np.cumsum(Zs) / Zs.sum()
+        cuts = sorted(set(Zs[np.searchsorted(cum, l)] for l in sorted(levels)))
+    else:
+        cuts = sorted(set(levels))
+    ax.contour(X, Y, Z, levels=cuts, colors=color)
+
+
+def _mode_for(spec, k: int, default: Optional[str]):
+    """Resolve a per-sample-set cell mode: None | str | list-of-str."""
+    if spec is None:
+        return None
+    if isinstance(spec, str):
+        return spec
+    return spec[k] if k < len(spec) else (spec[-1] if spec else default)
+
+
+def _draw_diag(ax, vals, color, mode, hist_opts, kde_opts, scatter_opts):
+    if mode in (None, "none"):
+        return
+    if mode == "kde":
+        g, d = _kde_1d(vals, kde_opts.num_points, kde_opts.bw_method)
+        ax.plot(g, d, color=color)
+    elif mode == "scatter":
+        ax.scatter(vals, np.zeros_like(vals), s=scatter_opts.s,
+                   alpha=scatter_opts.alpha, color=color)
+    else:  # hist
+        ax.hist(vals, bins=hist_opts.bins, density=hist_opts.density,
+                histtype=hist_opts.histtype, color=color)
+
+
+def _draw_offdiag(ax, xs, ys, color, mode, hist_opts, kde_opts,
+                  scatter_opts, contour_opts):
+    if mode in (None, "none"):
+        return
+    if mode == "contour":
+        _hist2d_contour(ax, xs, ys, levels=contour_opts.levels, color=color,
+                        bins=hist_opts.bins,
+                        percentile=contour_opts.percentile)
+    elif mode == "kde":
+        _kde2d_contour(ax, xs, ys, levels=contour_opts.levels, color=color,
+                       bw_method=kde_opts.bw_method,
+                       percentile=contour_opts.percentile)
+    elif mode == "scatter":
+        ax.scatter(xs, ys, s=scatter_opts.s, alpha=scatter_opts.alpha,
+                   color=color)
+    elif mode == "hist2d" or mode == "hist":
+        ax.hist2d(xs, ys, bins=hist_opts.bins, cmap="Blues")
+    else:
+        raise ValueError(f"Unknown off-diagonal mode '{mode}'")
 
 
 def pairplot(
@@ -75,59 +144,81 @@ def pairplot(
     points=None,
     limits=None,
     subset: Optional[Sequence[int]] = None,
-    upper: Optional[str] = "hist",
-    diag: Optional[str] = "hist",
+    upper: Optional[object] = "hist",
+    lower: Optional[object] = None,
+    diag: Optional[object] = "hist",
     figsize: Tuple[int, int] = (10, 10),
     labels: Optional[Sequence[str]] = None,
     ticks=None,
     fig=None,
     axes=None,
+    hist_options: Optional[HistOptions] = None,
+    kde_options: Optional[KdeOptions] = None,
+    scatter_options: Optional[ScatterOptions] = None,
+    contour_options: Optional[ContourOptions] = None,
+    fig_kwargs: Optional[dict] = None,
     **kwargs,
 ):
-    """Corner plot of posterior samples (ref plot.py:156). Returns (fig, axes)."""
+    """Corner plot of posterior samples (ref plot.py:156). Returns (fig, axes).
+
+    `upper`/`lower`/`diag` accept a mode string ("hist", "kde", "scatter",
+    "contour", "hist2d", None) or a list of modes, one per sample set.
+    `lower=None` mirrors `upper` into the lower triangle (the reference's
+    corner layout uses lower cells; passing `lower` explicitly enables
+    split upper/lower rendering). Option dataclasses control each mark;
+    `fig_kwargs` is forwarded to `plt.subplots`.
+    """
     import matplotlib.pyplot as plt
+
+    hist_opts = hist_options or HistOptions(**kwargs.get("hist_kwargs", {}))
+    kde_opts = kde_options or KdeOptions(**kwargs.get("kde_kwargs", {}))
+    scatter_opts = scatter_options or ScatterOptions(**kwargs.get("scatter_kwargs", {}))
+    contour_opts = contour_options or ContourOptions(**kwargs.get("contour_kwargs", {}))
 
     sample_list = _to_np_list(samples)
     D = sample_list[0].shape[1]
     dims = list(subset) if subset is not None else list(range(D))
     n = len(dims)
     if axes is None:
-        fig, axes = plt.subplots(n, n, figsize=figsize, squeeze=False)
+        fig, axes = plt.subplots(n, n, figsize=figsize, squeeze=False,
+                                 **(fig_kwargs or {}))
     colors = [f"C{i}" for i in range(len(sample_list))]
+    lower_spec = lower if lower is not None else upper
 
     for i, di in enumerate(dims):
         for j, dj in enumerate(dims):
             ax = axes[i][j]
-            if j > i:
-                ax.axis("off") if upper is None else None
             if i == j:
-                for s, c in zip(sample_list, colors):
-                    if diag == "kde":
-                        g, d = _kde_1d(s[:, di])
-                        ax.plot(g, d, color=c)
-                    else:
-                        ax.hist(s[:, di], bins=50, density=True,
-                                histtype="step", color=c)
+                for k, (s, c) in enumerate(zip(sample_list, colors)):
+                    _draw_diag(ax, s[:, di], c, _mode_for(diag, k, "hist"),
+                               hist_opts, kde_opts, scatter_opts)
                 if points is not None:
                     for p in _to_np_list(points):
                         ax.axvline(p.reshape(-1, D)[0, di], color="k", ls="--")
-            elif j < i or upper is not None:
-                for s, c in zip(sample_list, colors):
-                    if (j < i and upper == "contour") or (j > i and upper == "contour"):
-                        _hist2d_contour(ax, s[:, dj], s[:, di], color=c)
-                    elif (j < i) or (j > i and upper == "scatter"):
-                        ax.scatter(s[:, dj], s[:, di], s=2, alpha=0.3, color=c)
-                    else:
-                        ax.hist2d(s[:, dj], s[:, di], bins=50, cmap="Blues")
+            else:
+                spec = upper if j > i else lower_spec
+                if spec is None:
+                    ax.axis("off")
+                    continue
+                for k, (s, c) in enumerate(zip(sample_list, colors)):
+                    _draw_offdiag(ax, s[:, dj], s[:, di], c,
+                                  _mode_for(spec, k, "hist"),
+                                  hist_opts, kde_opts, scatter_opts,
+                                  contour_opts)
                 if points is not None:
                     for p in _to_np_list(points):
                         p2 = p.reshape(-1, D)
                         ax.plot(p2[0, dj], p2[0, di], "k*", markersize=8)
             if limits is not None:
                 lim = np.asarray(limits)
-                ax.set_xlim(lim[dj if lim.ndim > 1 else 0])
+                ax.set_xlim(lim[dj] if lim.ndim > 1 else lim)
                 if i != j:
-                    ax.set_ylim(lim[di if lim.ndim > 1 else 0])
+                    ax.set_ylim(lim[di] if lim.ndim > 1 else lim)
+            if ticks is not None:
+                t = np.asarray(ticks)
+                ax.set_xticks(t[dj] if t.ndim > 1 else t)
+                if i != j:
+                    ax.set_yticks(t[di] if t.ndim > 1 else t)
             if labels is not None:
                 if i == n - 1:
                     ax.set_xlabel(labels[dj])
@@ -210,6 +301,7 @@ def conditional_pairplot(
                     density, condition, limits, di, di, resolution=resolution
                 )
                 ax.plot(grid, np.asarray(probs))
+                ax.set_xlim(limits[di])
             else:
                 probs, (gx, gy) = eval_conditional_density(
                     density, condition, limits, di, dj, resolution=resolution,

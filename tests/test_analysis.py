@@ -92,3 +92,43 @@ def test_active_subspace(trained_posterior):
     assert top[2] > 0.9, top
     proj = asub.project(samples[:10], 1, key=jax.random.PRNGKey(8))
     assert proj.shape == (10, 1)
+
+
+def test_pairplot_all_modes_render():
+    """Per-cell upper/lower/diag modes, option dataclasses, fig_kwargs
+    (ref plot.py:156-1135 option surface)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from sbi_tpu.analysis.plot import (
+        ContourOptions,
+        HistOptions,
+        KdeOptions,
+        pairplot,
+    )
+
+    rng = np.random.RandomState(0)
+    s1 = rng.randn(400, 3)
+    s2 = rng.randn(400, 3) + 0.5
+    for upper in ("hist2d", "scatter", "contour", "kde", None):
+        fig, axes = pairplot([s1, s2], upper=upper, diag="kde",
+                             points=np.zeros(3))
+        plt.close(fig)
+    # split upper/lower, per-sample-set mode lists, options consumed
+    fig, axes = pairplot(
+        [s1, s2],
+        upper=["scatter", "contour"],
+        lower="hist2d",
+        diag=["hist", "kde"],
+        limits=[[-4, 4]] * 3,
+        ticks=[[-2, 0, 2]] * 3,
+        labels=["a", "b", "c"],
+        hist_options=HistOptions(bins=20),
+        kde_options=KdeOptions(num_points=50),
+        contour_options=ContourOptions(levels=(0.5, 0.9)),
+        fig_kwargs=dict(dpi=50),
+    )
+    assert axes.shape == (3, 3)
+    plt.close(fig)
