@@ -74,11 +74,14 @@ class DirectPosterior(NeuralPosterior):
 
         # Cached jitted proposal: compiled once per (batch-size, x-shape);
         # params and x are traced arguments so the cache survives both
-        # repeated sample() calls and set_default_x changes.
+        # repeated sample() calls and set_default_x changes. Host-side
+        # estimators (TabPFNFlow) mark jittable=False and run uncompiled.
         if self._jit_proposal is None:
-            self._jit_proposal = jax.jit(
-                lambda params, k, xx, n: est.sample_fn(params, k, (n,), xx)[:, 0, :],
-                static_argnums=(3,),
+            raw = lambda params, k, xx, n: est.sample_fn(params, k, (n,), xx)[:, 0, :]
+            self._jit_proposal = (
+                jax.jit(raw, static_argnums=(3,))
+                if getattr(est, "jittable", True)
+                else raw
             )
 
         def proposal(k, n):
@@ -126,7 +129,9 @@ class DirectPosterior(NeuralPosterior):
         per_round = max(num_samples, 256)
         prior = self.prior
 
-        @jax.jit
+        jit_maybe = jax.jit if getattr(est, "jittable", True) else (lambda f: f)
+
+        @jit_maybe
         def round_fn(collected, counts, sub):
             cand = est.sample_fn(est.params, sub, (per_round,), x)  # (R, B, D)
             ok = within_support(prior, cand.reshape(-1, D)).reshape(per_round, B)

@@ -59,6 +59,10 @@ def posterior_nn(
             return build_mdn(
                 batch_theta, batch_x, num_components=num_components, **common
             )
+        if model == "tabpfn":
+            from .net_builders.tabpfn import build_tabpfn_flow
+
+            return build_tabpfn_flow(batch_theta, batch_x, **kwargs)
         builders = _flow_builders()
         if model in builders and builders[model] is not None:
             return builders[model](

@@ -22,6 +22,7 @@ from .flow import (
     build_zuko_unaf,
 )
 from .mdn import build_mdn
+from .tabpfn import build_tabpfn_flow
 from .mixed_nets import build_categoricalmassestimator, build_mnle, build_mnpe
 from .vector_field_nets import (
     build_flow_matching_estimator,
@@ -35,6 +36,7 @@ __all__ = [
     "build_maf_rqs",
     "build_nsf",
     "build_mdn",
+    "build_tabpfn_flow",
     "build_zuko_nice",
     "build_zuko_maf",
     "build_zuko_nsf",

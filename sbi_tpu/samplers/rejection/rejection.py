@@ -153,16 +153,23 @@ def rejection_sample(
         updates, state = opt.update(g, state)
         return (optax.apply_updates(theta, updates), state), None
 
-    (best_opt, _), _ = jax.lax.scan(
-        ascent_step, (best, opt.init(best)), None, length=num_iter_to_find_max
-    )
-    log_m_candidates = jnp.stack(
-        [
-            (potential_fn(best[None]) - proposal.log_prob(best[None]))[0],
-            (potential_fn(best_opt[None]) - proposal.log_prob(best_opt[None]))[0],
-        ]
-    )
-    log_max = jnp.max(log_m_candidates) + jnp.log(m)
+    try:
+        (best_opt, _), _ = jax.lax.scan(
+            ascent_step, (best, opt.init(best)), None,
+            length=num_iter_to_find_max,
+        )
+        log_m_candidates = jnp.stack(
+            [
+                (potential_fn(best[None]) - proposal.log_prob(best[None]))[0],
+                (potential_fn(best_opt[None]) - proposal.log_prob(best_opt[None]))[0],
+            ]
+        )
+        log_max = jnp.max(log_m_candidates) + jnp.log(m)
+    except jax.errors.TracerArrayConversionError:
+        # Host-side potential (e.g. TabPFN in-context estimator) cannot be
+        # traced/differentiated; fall back to the sampled maximum with the
+        # safety factor.
+        log_max = jnp.max(ratio) + jnp.log(m)
 
     # --- accept-reject with the learned constant ----------------------------
     def accept_fn_with_key(samples, sub):
