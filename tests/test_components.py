@@ -1,0 +1,197 @@
+"""Component tests for round-1 'implemented but unexercised' paths:
+MNLE/MNPE mixed estimation, EnsemblePosterior, Rejection/Importance
+posteriors, RestrictionEstimator, MarginalTrainer (refs: tests/mnle_test.py,
+ensemble_test.py, rejection tests, restriction tests in the reference)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sbi_tpu.simulators.linear_gaussian import (
+    linear_gaussian,
+    true_posterior_linear_gaussian_mvn_prior,
+)
+from sbi_tpu.utils.distributions import BoxUniform, MultivariateNormal
+from sbi_tpu.utils.metrics import c2st
+from sbi_tpu.utils.sbiutils import seed_all_backends
+
+D = 2
+SHIFT = -1.0 * jnp.ones(D)
+
+
+def _analytic_samples(x_o, n=800, key=5):
+    return true_posterior_linear_gaussian_mvn_prior(
+        x_o, SHIFT, jnp.eye(D), jnp.zeros(D), jnp.eye(D)
+    ).sample(jax.random.PRNGKey(key), (n,))
+
+
+@pytest.fixture(scope="module")
+def lg_data():
+    seed_all_backends(0)
+    prior = MultivariateNormal(jnp.zeros(D), jnp.eye(D))
+    theta = prior.sample(jax.random.PRNGKey(0), (2500,))
+    x = linear_gaussian(theta, SHIFT, jnp.eye(D), key=jax.random.PRNGKey(1))
+    return prior, theta, x
+
+
+def test_mnle_mixed_roundtrip():
+    """MNLE on a decision-model-like simulator: continuous rt + binary
+    choice (ref tests/mnle_test.py)."""
+    from sbi_tpu.inference import MNLE
+
+    seed_all_backends(0)
+    prior = BoxUniform(jnp.array([-2.0, -2.0]), jnp.array([2.0, 2.0]))
+    theta = prior.sample(jax.random.PRNGKey(0), (3000,))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    rt = theta[:, :1] + 0.3 * jax.random.normal(k1, (3000, 1))
+    choice = jax.random.bernoulli(
+        k2, jax.nn.sigmoid(2.0 * theta[:, 1:2])
+    ).astype(jnp.float32)
+    x = jnp.concatenate([rt, choice], axis=1)  # [continuous, discrete]
+
+    inf = MNLE(prior=prior, num_discrete=1)
+    inf.append_simulations(theta, x)
+    inf.train(max_num_epochs=60, training_batch_size=200)
+    # likelihood sanity: P(choice=1 | theta2 large) >> P(choice=1 | small)
+    est = inf._neural_net
+    xq = jnp.array([[0.0, 1.0]])
+    t_hi = jnp.array([[0.0, 1.5]])
+    t_lo = jnp.array([[0.0, -1.5]])
+    lp_hi = float(est.log_prob(xq[None], t_hi)[0, 0])
+    lp_lo = float(est.log_prob(xq[None], t_lo)[0, 0])
+    assert lp_hi > lp_lo
+    # posterior recovery around the true parameters
+    truth = jnp.array([0.5, 1.0])
+    x_o = jnp.array([[0.5, 1.0]])
+    posterior = inf.build_posterior().set_default_x(x_o)
+    samples = posterior.sample(
+        (400,), key=jax.random.PRNGKey(3), num_chains=50, warmup_steps=100
+    )
+    mean = np.asarray(samples.mean(0))
+    assert abs(mean[0] - float(truth[0])) < 0.5
+    assert mean[1] > 0.0  # choice=1 pulls theta2 positive
+
+
+def test_mnpe_mixed_posterior():
+    """MNPE with mixed theta = [continuous, binary] (continuous-first
+    layout, ref mnpe.py:53-55)."""
+    from sbi_tpu.inference import MNPE
+
+    seed_all_backends(0)
+    n = 3000
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    theta_c = jax.random.uniform(k1, (n, 1), minval=-1, maxval=1)
+    theta_d = jax.random.bernoulli(k2, 0.5, (n, 1)).astype(jnp.float32)
+    theta = jnp.concatenate([theta_c, theta_d], axis=1)
+    x = theta_c + 2.0 * theta_d + 0.1 * jax.random.normal(k3, (n, 1))
+
+    prior = BoxUniform(jnp.array([-1.0, 0.0]), jnp.array([1.0, 1.0]))
+    inf = MNPE(prior=prior, num_discrete=1)
+    inf.append_simulations(theta, x)
+    inf.train(max_num_epochs=60, training_batch_size=200)
+    posterior = inf.build_posterior().set_default_x(jnp.array([[2.2]]))
+    s = posterior.sample((300,), key=jax.random.PRNGKey(4))
+    s = np.asarray(s)
+    # x=2.2 is only reachable with theta_d=1 (theta_c in [-1,1])
+    assert set(np.unique(s[:, 1].round(3))).issubset({0.0, 1.0})
+    assert s[:, 1].mean() > 0.8
+    assert abs(s[s[:, 1] > 0.5][:, 0].mean() - 0.2) < 0.35
+
+
+def test_ensemble_posterior(lg_data):
+    from sbi_tpu.inference import NPE, EnsemblePosterior
+
+    prior, theta, x = lg_data
+    posteriors = []
+    for seed in (0, 1):
+        seed_all_backends(seed)
+        inf = NPE(prior=prior, density_estimator="mdn")
+        inf.append_simulations(theta, x)
+        inf.train(max_num_epochs=40, training_batch_size=200)
+        posteriors.append(inf.build_posterior())
+    ens = EnsemblePosterior(posteriors, weights=[0.5, 0.5])
+    x_o = jnp.zeros(D)
+    ens.set_default_x(x_o)
+    samples = ens.sample((800,), key=jax.random.PRNGKey(2))
+    assert float(c2st(samples, _analytic_samples(x_o))) <= 0.6
+    lp = ens.log_prob(samples[:16])
+    assert lp.shape == (16,) and bool(jnp.isfinite(lp).all())
+
+
+def test_rejection_and_importance_posteriors(lg_data):
+    """Rejection/ImportanceSampling posteriors over an NLE potential
+    recover the analytic posterior."""
+    from sbi_tpu.inference import (
+        NLE,
+        ImportanceSamplingPosterior,
+        RejectionPosterior,
+        likelihood_estimator_based_potential,
+    )
+
+    prior, theta, x = lg_data
+    seed_all_backends(0)
+    inf = NLE(prior=prior)
+    inf.append_simulations(theta, x)
+    inf.train(max_num_epochs=60, training_batch_size=200)
+    x_o = jnp.zeros((1, D))
+    potential_fn, theta_transform = likelihood_estimator_based_potential(
+        inf._neural_net, prior, x_o
+    )
+    ref = _analytic_samples(jnp.zeros(D))
+
+    rej = RejectionPosterior(potential_fn, proposal=prior,
+                             theta_transform=theta_transform)
+    rej.set_default_x(x_o)
+    s = rej.sample((800,), key=jax.random.PRNGKey(1))
+    assert float(c2st(s, ref)) <= 0.62
+
+    imp = ImportanceSamplingPosterior(
+        potential_fn, proposal=prior, theta_transform=theta_transform,
+        method="sir", oversampling_factor=32,
+    )
+    imp.set_default_x(x_o)
+    s2 = imp.sample((800,), key=jax.random.PRNGKey(2))
+    assert float(c2st(s2, ref)) <= 0.62
+
+
+def test_restriction_estimator_excludes_invalid_region():
+    """RestrictionEstimator learns the invalid-theta region and
+    RestrictedPrior avoids it (ref restriction_estimator.py:66,613)."""
+    from sbi_tpu.utils.restriction_estimator import RestrictionEstimator
+
+    seed_all_backends(0)
+    prior = BoxUniform(-2 * jnp.ones(2), 2 * jnp.ones(2))
+    theta = prior.sample(jax.random.PRNGKey(0), (2000,))
+    # simulations fail (NaN) whenever theta_0 > 0.5
+    x = jnp.where(
+        (theta[:, :1] > 0.5), jnp.nan, theta.sum(axis=1, keepdims=True)
+    )
+    restr = RestrictionEstimator(prior=prior)
+    restr.append_simulations(theta, x)
+    restr.train(max_num_epochs=80)
+    restricted = restr.restrict_prior()
+    s = restricted.sample(jax.random.PRNGKey(1), (500,))
+    frac_invalid = float((s[:, 0] > 0.6).mean())
+    assert frac_invalid < 0.1, f"{frac_invalid} of samples in invalid region"
+
+
+def test_marginal_trainer_fits_density():
+    from sbi_tpu.inference import MarginalTrainer
+
+    seed_all_backends(0)
+    mean = jnp.array([1.0, -1.0])
+    x = mean + jax.random.normal(jax.random.PRNGKey(0), (3000, 2)) * jnp.array(
+        [0.5, 1.5]
+    )
+    trainer = MarginalTrainer()
+    trainer.append_simulations(x)
+    trainer.train(max_num_epochs=80, training_batch_size=200)
+    est = trainer.build_estimator()
+    samples = est.sample((2000,), key=jax.random.PRNGKey(1))
+    m = np.asarray(samples.reshape(-1, 2).mean(0))
+    sd = np.asarray(samples.reshape(-1, 2).std(0))
+    assert np.allclose(m, np.asarray(mean), atol=0.25)
+    assert np.allclose(sd, [0.5, 1.5], atol=0.35)
+    lp = est.log_prob(x[:10])
+    assert bool(jnp.isfinite(lp).all())
