@@ -109,11 +109,42 @@ class MCMCPosterior(NeuralPosterior):
             )
         return self.theta_transform.forward(inits)
 
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state.pop("_prepared_potential", None)  # local closures don't pickle
+        state.pop("_prepared_refs", None)
+        return state
+
     def _prepare_potential(self, method: str) -> Callable:
-        """Compose potential with the unconstraining transform (ref `:921`)."""
-        return transformed_potential(
+        """Compose potential with the unconstraining transform (ref `:921`).
+
+        The composed closure is cached keyed on the potential's state refs
+        (x_o + estimator params, compared by identity with strong refs
+        held): the FSM/HMC samplers jit with the potential as a static
+        argument, so reusing one closure across repeated sample() calls
+        turns every call after the first into a compile-cache hit, while a
+        set_x or a retrained estimator (params pytree replaced) correctly
+        forces a fresh closure and re-trace."""
+        refs = (method,) + tuple(
+            self.potential_fn.state_refs()
+            if hasattr(self.potential_fn, "state_refs")
+            else ()
+        )
+        cached = getattr(self, "_prepared_potential", None)
+        cached_refs = getattr(self, "_prepared_refs", None)
+        if (
+            cached is not None
+            and cached_refs is not None
+            and len(cached_refs) == len(refs)
+            and all(a is b for a, b in zip(cached_refs, refs))
+        ):
+            return cached
+        prepared = transformed_potential(
             lambda theta: self.potential_fn(theta), self.theta_transform
         )
+        self._prepared_potential = prepared
+        self._prepared_refs = refs
+        return prepared
 
     # ---------------------------------------------------------------- sample
     def sample(

@@ -61,6 +61,25 @@ class BasePotential:
     def return_x_o(self) -> Optional[Array]:
         return self._x_o
 
+    def state_refs(self) -> tuple:
+        """Objects whose replacement invalidates compiled programs that
+        traced through this potential (observation + estimator params).
+        Callers cache jitted samplers keyed on these refs BY IDENTITY and
+        hold them strongly, so a changed x or retrained params forces a
+        re-trace while repeated sampling reuses the compiled program."""
+        refs = [self._x_o]
+        for attr in (
+            "likelihood_estimator",
+            "posterior_estimator",
+            "ratio_estimator",
+            "vector_field_estimator",
+            "estimator",
+        ):
+            est = getattr(self, attr, None)
+            if est is not None and hasattr(est, "params"):
+                refs.append(est.params)
+        return tuple(refs)
+
     def to(self, device):  # torch-API compat; placement is a jax concern
         return self
 
