@@ -306,8 +306,14 @@ class NeuralInference(ABC):
             # Convergence at chunk granularity: best-params snapshots are the
             # chunk-end params whose chunk contained the best val epoch (for
             # chunk=1 this is exactly the reference's per-epoch behavior).
+            # Patience is counted in EPOCHS (n_this per call), so chunked
+            # training keeps the reference's stop_after_epochs semantics to
+            # within one chunk. (Measured on two_moons/NSF@2k: chunked
+            # best-val snapshots cost no C2ST vs chunk=1 at equal patience.)
             best_in_chunk = float(val_losses[:n_this].min())
-            if self._converged(best_in_chunk, params, cfg.stop_after_epochs):
+            if self._converged(
+                best_in_chunk, params, cfg.stop_after_epochs, n_epochs=n_this
+            ):
                 stop = True
             if self._epoch - epoch_start >= cfg.max_num_epochs:
                 warnings.warn(
@@ -334,14 +340,17 @@ class NeuralInference(ABC):
         chain.append(optax.adam(cfg.learning_rate))
         return optax.chain(*chain)
 
-    def _converged(self, val_loss: float, params, stop_after_epochs: int) -> bool:
-        """Best-val tracking + snapshot (ref base.py:1160-1190)."""
+    def _converged(
+        self, val_loss: float, params, stop_after_epochs: int, n_epochs: int = 1
+    ) -> bool:
+        """Best-val tracking + snapshot (ref base.py:1160-1190); patience
+        counted in epochs regardless of epoch_chunk."""
         if val_loss < self._best_val_loss:
             self._best_val_loss = val_loss
             self._epochs_since_last_improvement = 0
             self._best_params = params
         else:
-            self._epochs_since_last_improvement += 1
+            self._epochs_since_last_improvement += n_epochs
         return self._epochs_since_last_improvement > stop_after_epochs - 1
 
     @staticmethod

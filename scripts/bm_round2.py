@@ -69,7 +69,7 @@ def run_sequential_nle(task, rounds, per_round, obs_list=(0, 1, 2)):
                 )
             x = bench.simulator(theta, key=jr.PRNGKey(200 * i + r))
             inference.append_simulations(theta, x)
-            inference.train(training_batch_size=100, epoch_chunk=EPOCH_CHUNK)
+            inference.train(training_batch_size=100, epoch_chunk=EPOCH_CHUNK, stop_after_epochs=150)
             posterior = inference.build_posterior().set_default_x(x_o)
             proposal = posterior
         s, _ = _eval(posterior, bench, i, mcmc=True)
@@ -95,7 +95,7 @@ def run_amortized(task, method, num_simulations, obs_list=(0, 1, 2), **est_kw):
     else:
         inference = NRE_B(prior=prior)
     inference.append_simulations(theta, x)
-    inference.train(training_batch_size=100, epoch_chunk=EPOCH_CHUNK)
+    inference.train(training_batch_size=100, epoch_chunk=EPOCH_CHUNK, stop_after_epochs=150)
     scores = []
     for i in obs_list:
         x_o = bench.get_observation(i)
@@ -136,7 +136,8 @@ def run_tsnpe(task, rounds, per_round, obs_list=(0, 1, 2), quantile=1e-4,
                 x = bench.simulator(theta, key=jr.PRNGKey(9000 * m + 2000 * i + r))
                 inference.append_simulations(theta, x)
                 inference.train(force_first_round_loss=True,
-                                training_batch_size=100, epoch_chunk=EPOCH_CHUNK)
+                                training_batch_size=100, epoch_chunk=EPOCH_CHUNK,
+                                stop_after_epochs=150)
                 posterior = inference.build_posterior().set_default_x(x_o)
                 accept_fn = get_density_thresholder(
                     posterior, quantile=quantile,
