@@ -243,23 +243,20 @@ class MCMCPosterior(NeuralPosterior):
         pot_u = transformed_potential(pot_raw, self.theta_transform)
         per_chain = max(1, math.ceil(num_samples / num_chains))
 
-        # inits: resample per observation against its own potential
+        # inits: resample per observation — ONE batched potential eval over
+        # all (observation, candidate) pairs via the pure batched_over_x
+        # potential (no per-b set_x mutation, no host loop).
         k_init, k_run = jax.random.split(key)
-        cand = self.proposal.sample(k_init, (1024,))
-        total_chains = B * num_chains
-
-        def init_for_obs(b):
-            # score candidates under observation b and resample
-            reps = jnp.repeat(x[b][None], cand.shape[0], axis=0)
-            self.potential_fn.set_x(x[b][None])
-            logw = self.potential_fn(cand)
-            logw = jnp.where(jnp.isfinite(logw), logw, -jnp.inf)
-            idx = jax.random.categorical(
-                jax.random.fold_in(k_init, b), logw, shape=(num_chains,)
-            )
-            return cand[idx]
-
-        inits = jnp.concatenate([init_for_obs(b) for b in range(B)], axis=0)
+        n_cand = int(kwargs.pop("num_init_candidates", 1024))
+        cand = self.proposal.sample(k_init, (n_cand,))
+        pot_score = self.potential_fn.batched_over_x(x, n_cand)
+        cand_tiled = jnp.tile(cand, (B, 1))
+        logw = pot_score(cand_tiled).reshape(B, n_cand)
+        logw = jnp.where(jnp.isfinite(logw), logw, -jnp.inf)
+        idx = jax.vmap(
+            lambda lw, k: jax.random.categorical(k, lw, shape=(num_chains,))
+        )(logw, jax.random.split(jax.random.fold_in(k_init, 1), B))
+        inits = cand[idx.reshape(-1)]  # (B*num_chains, D)
         inits_u = self.theta_transform.forward(inits)
 
         from ...samplers.mcmc.slice_fsm import run_slice_vectorized_fsm
