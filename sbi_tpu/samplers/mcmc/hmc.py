@@ -3,14 +3,16 @@ Pyro/PyMC delegation, `sbi/inference/posteriors/mcmc_posterior.py:48-56`).
 
 Everything runs as one XLA program: leapfrog via `lax.scan`, chains via
 `vmap`, dual-averaging step-size adaptation and diagonal mass estimation in
-the warmup scan. NUTS is implemented as multinomial HMC with jittered
-trajectory lengths (cf. Hoffman & Gelman 2014; the fixed-shape variant is
-the standard accelerator-friendly formulation).
+the warmup scan. NUTS is real tree-based multinomial NUTS (iterative
+doubling on fixed-shape buffers, see `run_nuts`); the jittered-trajectory
+surrogate from round 1 survives as `run_nuts_jittered` for
+cross-validation. Step functions are cached per potential identity so
+repeated calls reuse compiled programs.
 """
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -59,6 +61,17 @@ def run_hmc(
     key = next_key(key)
     inits = jnp.asarray(inits, jnp.float32)
     C, D = inits.shape
+    hmc_step = _make_hmc_step(potential_fn, D, num_leapfrog, bool(jitter_steps))
+    return _run_adaptive(
+        hmc_step, inits, num_samples, thin, warmup_steps, target_accept, key
+    )
+
+
+@lru_cache(maxsize=64)
+def _make_hmc_step(potential_fn, D: int, num_leapfrog: int, jitter_steps: bool):
+    """Per-chain HMC step, cached on the potential's identity so repeated
+    run_hmc calls with the same potential reuse the jitted programs that
+    close over it (same pattern as the FSM sampler's compile cache)."""
 
     def logp_single(th):
         return potential_fn(th[None])[0]
@@ -72,9 +85,9 @@ def run_hmc(
         lp0, g0 = logp_grad(theta)
         h0 = lp0 - 0.5 * jnp.sum(inv_mass * mom**2)
         if jitter_steps:
-            # Jittered trajectory length in [1, num_leapfrog] — the
-            # fixed-shape NUTS surrogate (randomized-HMC has the same
-            # stationary distribution and breaks resonances).
+            # Jittered trajectory length in [1, num_leapfrog] —
+            # randomized-HMC has the same stationary distribution and
+            # breaks resonances.
             n_steps = jax.random.randint(k_jit, (), 1, num_leapfrog + 1)
         else:
             n_steps = num_leapfrog
@@ -88,9 +101,7 @@ def run_hmc(
         theta = jnp.where(accept, theta_new, theta)
         return theta, jnp.exp(log_alpha)
 
-    return _run_adaptive(
-        hmc_step, inits, num_samples, thin, warmup_steps, target_accept, key
-    )
+    return hmc_step
 
 
 def _run_adaptive(
@@ -104,15 +115,31 @@ def _run_adaptive(
 ) -> Array:
     """Shared warmup (dual-averaging step size + diagonal mass EMA) and
     sampling phases. ``step_fn(theta, key, step_size, inv_mass) -> (theta,
-    alpha)`` operates on a single chain; chains are vmapped."""
+    alpha)`` operates on a single chain; chains are vmapped. Both phases
+    are module-level jits with step_fn static, so repeated calls with the
+    same cached step function reuse the compiled programs."""
+    key, k_warm, k_main = jax.random.split(key, 3)
+    theta, step_size, inv_mass = _adaptive_warmup(
+        inits, k_warm, target_accept, step_fn=step_fn, warmup_steps=warmup_steps
+    )
+    draws = _adaptive_sample(
+        theta, k_main, step_size, inv_mass, step_fn=step_fn,
+        n_steps=num_samples * thin,
+    )
+    if thin > 1:
+        draws = draws[thin - 1::thin]
+    return draws[:num_samples]
+
+
+@partial(jax.jit, static_argnames=("step_fn", "warmup_steps"))
+def _adaptive_warmup(inits, k, target_accept, *, step_fn, warmup_steps):
     C, D = inits.shape
     mu = jnp.log(10.0 * 0.1)
     gamma, t0, kappa = 0.05, 10.0, 0.75
 
     def warm_body(carry, inp):
         theta, log_eps, log_eps_bar, h_bar, m2_mean, m2_var, t = carry
-        k = inp
-        keys = jax.random.split(k, C)
+        keys = jax.random.split(inp, C)
         step_size = jnp.exp(log_eps)
         inv_mass = jnp.clip(m2_var, 1e-4)
         theta, alphas = jax.vmap(
@@ -133,45 +160,36 @@ def _run_adaptive(
         m2_var = 0.9 * m2_var + 0.1 * batch_var
         return (theta, log_eps, log_eps_bar, h_bar, m2_mean, m2_var, t), None
 
-    key, k_warm, k_main = jax.random.split(key, 3)
+    carry = (
+        inits,
+        jnp.log(0.1),
+        jnp.log(0.1),
+        0.0,
+        jnp.zeros(D),
+        jnp.ones(D),
+        0.0,
+    )
+    keys = jax.random.split(k, max(warmup_steps, 1))
+    (theta, _, log_eps_bar, _, _, m2_var, _), _ = jax.lax.scan(
+        warm_body, carry, keys
+    )
+    return theta, jnp.exp(log_eps_bar), jnp.clip(m2_var, 1e-4)
 
-    @jax.jit
-    def warmup(theta, k):
-        carry = (
-            theta,
-            jnp.log(0.1),
-            jnp.log(0.1),
-            0.0,
-            jnp.zeros(D),
-            jnp.ones(D),
-            0.0,
-        )
-        keys = jax.random.split(k, max(warmup_steps, 1))
-        carry, _ = jax.lax.scan(warm_body, carry, keys)
-        return carry
 
-    theta, _, log_eps_bar, _, _, m2_var, _ = warmup(inits, k_warm)
-    step_size = jnp.exp(log_eps_bar)
-    inv_mass = jnp.clip(m2_var, 1e-4)
+@partial(jax.jit, static_argnames=("step_fn", "n_steps"))
+def _adaptive_sample(theta, k, step_size, inv_mass, *, step_fn, n_steps):
+    C = theta.shape[0]
 
-    # ---- sampling ------------------------------------------------------------
-    @jax.jit
-    def sample_phase(theta, k):
-        def body(th, kk):
-            keys = jax.random.split(kk, C)
-            th, _ = jax.vmap(
-                lambda t_, k_: step_fn(t_, k_, step_size, inv_mass)
-            )(th, keys)
-            return th, th
+    def body(th, kk):
+        keys = jax.random.split(kk, C)
+        th, _ = jax.vmap(
+            lambda t_, k_: step_fn(t_, k_, step_size, inv_mass)
+        )(th, keys)
+        return th, th
 
-        keys = jax.random.split(k, num_samples * thin)
-        _, draws = jax.lax.scan(body, theta, keys)
-        return draws
-
-    draws = sample_phase(theta, k_main)
-    if thin > 1:
-        draws = draws[thin - 1::thin]
-    return draws[:num_samples]
+    keys = jax.random.split(k, n_steps)
+    _, draws = jax.lax.scan(body, theta, keys)
+    return draws
 
 
 def _is_uturn(theta_later, theta_earlier, mom_later, mom_earlier, inv_mass):
@@ -212,7 +230,16 @@ def run_nuts(
     key = next_key(key)
     inits = jnp.asarray(inits, jnp.float32)
     _, D = inits.shape
-    max_depth = int(max_tree_depth)
+    nuts_step = _make_nuts_step(potential_fn, D, int(max_tree_depth))
+    return _run_adaptive(
+        nuts_step, inits, num_samples, thin, warmup_steps, target_accept, key
+    )
+
+
+@lru_cache(maxsize=64)
+def _make_nuts_step(potential_fn, D: int, max_depth: int):
+    """Per-chain NUTS step, cached on the potential's identity (see
+    _make_hmc_step)."""
 
     def logp_single(th):
         return potential_fn(th[None])[0]
@@ -348,9 +375,7 @@ def run_nuts(
         alpha = s_alpha / jnp.maximum(n_alpha, 1.0)
         return prop, alpha
 
-    return _run_adaptive(
-        nuts_step, inits, num_samples, thin, warmup_steps, target_accept, key
-    )
+    return nuts_step
 
 
 def run_nuts_jittered(
