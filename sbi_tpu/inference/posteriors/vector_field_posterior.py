@@ -94,15 +94,34 @@ class VectorFieldPosterior(NeuralPosterior):
                         n, x[:1], steps=steps, ts=ts, key=k, score_fn=score_fn
                     )[:, 0, :]
 
-            else:
+            elif ts is not None:
+                # Custom schedule array: rare path, don't cache.
                 def proposal(k, n):
                     return diffuser.run(n, x[:1], steps=steps, ts=ts, key=k)[:, 0, :]
 
-        elif method == "ode":
-            node = self.potential_fn.neural_ode(x[:1])
+            else:
+                cfg = (
+                    "sde", predictor, corrector,
+                    tuple(sorted((corrector_params or {}).items())), steps,
+                )
 
-            def proposal(k, n):
-                return node.sample(k, n)
+                def make_sde(d=diffuser):
+                    def fn(params, x1, k, n):
+                        return d.run(n, x1, steps=steps, key=k, params=params)[:, 0, :]
+                    return fn
+
+                proposal = self._cached_proposal(cfg, make_sde, est, x)
+
+        elif method == "ode":
+            from ...samplers.ode.ode_solvers import build_neural_ode
+
+            def make_ode(e=est):
+                def fn(params, x1, k, n):
+                    node = build_neural_ode(e, x1, params=params)
+                    return node.sample(k, n)
+                return fn
+
+            proposal = self._cached_proposal(("ode",), make_ode, est, x)
 
         else:
             raise NotImplementedError(f"sample_with='{method}' not supported.")
@@ -115,6 +134,28 @@ class VectorFieldPosterior(NeuralPosterior):
             sample_batch_size=min(self.max_sampling_batch_size, max(num_samples, 1000)),
         )
         return samples.reshape(tuple(sample_shape) + est.input_shape)
+
+    def _cached_proposal(self, cfg, make_fn, est, x):
+        """Jit the diffusion/ODE solver once per *static* sampling config.
+
+        The jitted function is pure over ``(params, x, key)`` (batch size
+        static), so repeated ``sample()`` calls — including with different
+        observations or updated estimator params of the same shape — reuse
+        the compiled solver scan instead of re-tracing it.
+        """
+        cache = getattr(self, "_proposal_cache", None)
+        if cache is None:
+            cache = self._proposal_cache = {}
+        jitted = cache.get(cfg)
+        if jitted is None:
+            jitted = cache[cfg] = jax.jit(make_fn(), static_argnums=(3,))
+        x1 = x[:1]
+        return lambda k, n: jitted(est.params, x1, k, n)
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state.pop("_proposal_cache", None)
+        return state
 
     def sample_via_ode(self, sample_shape=(), x=None, key=None, **kwargs) -> Array:
         return self.sample(sample_shape, x=x, key=key, sample_with="ode", **kwargs)

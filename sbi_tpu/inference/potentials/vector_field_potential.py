@@ -33,15 +33,26 @@ class VectorFieldBasedPotential(BasePotential):
 
     def set_x(self, x_o, x_is_iid=False, **kwargs):
         super().set_x(x_o, x_is_iid)
-        if self._x_o is not None:
+        self._neural_ode = None  # rebuilt lazily for the new observation
+        return self
+
+    @property
+    def _node(self):
+        if self._neural_ode is None:
             self._neural_ode = build_neural_ode(
                 self.vector_field_estimator, self._x_o[:1], num_steps=self.ode_steps
             )
-        return self
+        return self._neural_ode
+
+    def __getstate__(self):
+        # The cached CNF holds jit closures; rebuild after unpickling.
+        state = self.__dict__.copy()
+        state["_neural_ode"] = None
+        return state
 
     def __call__(self, theta, track_gradients: bool = True):
         theta = ensure_theta_batched(theta)
-        lp = self._neural_ode.log_prob(theta)
+        lp = self._node.log_prob(theta)
         if self.prior is not None:
             lp = jnp.where(within_support(self.prior, theta), lp, -jnp.inf)
         return lp

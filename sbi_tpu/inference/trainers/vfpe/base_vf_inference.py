@@ -106,11 +106,11 @@ class VectorFieldTrainer(NeuralInference):
 
         return self._run_training_loop(loss_fn, cfg, start_idx=0, key=key)
 
-    def _converged(self, val_loss, params, stop_after_epochs):
+    def _converged(self, val_loss, params, stop_after_epochs, n_epochs=1):
         # The reference uses a statistical 2-sigma convergence check
         # (`:339-407`); combined best-val tracking works equivalently with
         # fixed validation keys. Keep base behavior.
-        return super()._converged(val_loss, params, stop_after_epochs)
+        return super()._converged(val_loss, params, stop_after_epochs, n_epochs)
 
     def build_posterior(
         self,

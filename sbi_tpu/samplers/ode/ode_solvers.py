@@ -134,11 +134,17 @@ class NeuralODE:
         return base_lp + logdet + ldj_t
 
 
-def build_neural_ode(estimator, condition: Array, num_steps: int = 64) -> NeuralODE:
-    """Factory (ref `ode_builder.py:14`): CNF over theta | condition."""
+def build_neural_ode(
+    estimator, condition: Array, num_steps: int = 64, params=None
+) -> NeuralODE:
+    """Factory (ref `ode_builder.py:14`): CNF over theta | condition.
+
+    ``params``/``condition`` may be tracers (call under ``jax.jit`` with
+    explicit params to keep the compiled CNF reusable across param updates).
+    """
     est = estimator
     cond_z = est._embed_condition(jnp.atleast_2d(condition))
-    params = est.params
+    params = est.params if params is None else params
 
     def f(z, t):
         cz = jnp.broadcast_to(cond_z[:1], (z.shape[0],) + cond_z.shape[1:])
@@ -147,7 +153,9 @@ def build_neural_ode(estimator, condition: Array, num_steps: int = 64) -> Neural
     if est.SDE_DEFINED:
         # score-based: time runs t_max (noise) -> t_min (data)
         t_noise, t_data = est.t_max, est.t_min
-        noise_std = float(est.std_fn(jnp.asarray([est.t_max]))[0])
+        # Keep as an array scalar: under jit tracing even constant-array
+        # computations are staged, so float() would raise.
+        noise_std = est.std_fn(jnp.asarray([est.t_max]))[0]
     else:
         # flow matching: 0 (noise) -> 1 (data)
         t_noise, t_data = est.t_min, est.t_max

@@ -112,12 +112,18 @@ class Diffuser:
         ts: Optional[Array] = None,
         key: Optional[Array] = None,
         score_fn: Optional[Callable] = None,
+        params=None,
     ) -> Array:
         """Sample (num_samples, B, D) in *raw theta space*.
 
         ``score_fn(z, t) -> (N, D)``: optional override of the estimator's
         conditional score — used for iid score composition (FNPE/Gauss
-        adaptors), where many observations share one posterior."""
+        adaptors), where many observations share one posterior.
+
+        ``params``: explicit estimator params pytree — pass when calling
+        under ``jax.jit`` so params are traced arguments rather than
+        trace-time constants (keeps the compiled program reusable across
+        param updates)."""
         if score_fn is not None:
             return self._run_with_score_fn(num_samples, score_fn, steps, ts, key)
         est = self.estimator
@@ -136,7 +142,7 @@ class Diffuser:
         std0 = est.std_fn(jnp.asarray([t_max]))[0]
         z = std0 * jax.random.normal(k_init, (B * num_samples, D))
 
-        params = est.params
+        params = est.params if params is None else params
         predictor = self.predictor
         corrector = self.corrector
         corrector_params = self.corrector_params

@@ -39,11 +39,11 @@ from mini_sbibm.base_task import get_bench_task
 MCMC_KW = dict(num_chains=100, warmup_steps=100)
 
 
-def _eval(posterior, bench, i, n=2000, mcmc=False):
+def _eval(posterior, bench, i, n=2000, mcmc=False, mcmc_kw=None):
     ref = bench.get_reference_posterior_samples(i)
     n = min(n, ref.shape[0])  # C2ST needs balanced classes
     ref = ref[:n]
-    kw = dict(MCMC_KW) if mcmc else {}
+    kw = dict(mcmc_kw or MCMC_KW) if mcmc else {}
     samples = posterior.sample((n,), key=jr.PRNGKey(10 + i), **kw)
     return float(c2st(samples, ref)), samples
 
@@ -154,6 +154,53 @@ def run_tsnpe(task, rounds, per_round, obs_list=(0, 1, 2), quantile=1e-4,
     return scores
 
 
+def run_nle_iid_slcp(num_simulations, obs_list=(0, 1, 2), rounds=1,
+                     per_round=None, **est_kw):
+    """SLCP with the likelihood factorized over its 4 iid 2-D points.
+
+    x = 4 iid draws of N(m(theta), S(theta)); training the conditional
+    density on single points (4x the pairs, 2-D instead of 8-D) and summing
+    the 4 trial log-likelihoods in the potential (the iid-trials machinery,
+    ref `likelihood_based_potential.py:186-220`) is the statistically
+    efficient NLE formulation of this task."""
+    from sbi_tpu.inference import NLE_A
+    from sbi_tpu.neural_nets.factory import likelihood_nn
+
+    bench = get_bench_task("slcp")
+    prior = bench.prior
+    mcmc_kw = dict(num_chains=200, warmup_steps=300)
+
+    def as_points(theta, x):
+        return jnp.repeat(theta, 4, axis=0), x.reshape(-1, 2)
+
+    scores = []
+    for i in obs_list:
+        t0 = time.time()
+        seed_all_backends(i)
+        x_o = bench.get_observation(i).reshape(4, 2)
+        est = likelihood_nn("nsf", **est_kw) if est_kw else "nsf"
+        inference = NLE_A(prior=prior, density_estimator=est)
+        proposal = prior
+        per = per_round or num_simulations // rounds
+        for r in range(rounds):
+            if r == 0:
+                theta = proposal.sample(jr.PRNGKey(100 * i + r), (per,))
+            else:
+                theta = proposal.sample(
+                    (per,), key=jr.PRNGKey(100 * i + r), **mcmc_kw
+                )
+            x = bench.simulator(theta, key=jr.PRNGKey(200 * i + r))
+            inference.append_simulations(*as_points(theta, x))
+            inference.train(training_batch_size=200, epoch_chunk=EPOCH_CHUNK,
+                            stop_after_epochs=150)
+            posterior = inference.build_posterior().set_default_x(x_o)
+            proposal = posterior
+        s, _ = _eval(posterior, bench, i, mcmc=True, mcmc_kw=mcmc_kw)
+        scores.append(s)
+        print(f"  obs {i}: c2st={s:.4f} ({time.time()-t0:.0f}s)", flush=True)
+    return scores
+
+
 EXPERIMENTS = {
     # name: (callable, label, task, num_simulations)
     "snle_slcp": (lambda: run_sequential_nle("slcp", 10, 3000), "snle", "slcp", 30000),
@@ -169,6 +216,9 @@ EXPERIMENTS = {
     "npe_mvg": (lambda: run_amortized("linear_mvg_2d", "npe", 10000), "npe", "linear_mvg_2d", 10000),
     "tsnpe_tm": (lambda: run_tsnpe("two_moons", 4, 2500, n_ensemble=3), "tsnpe-ens3", "two_moons", 10000),
     "npe_slcp_30k": (lambda: run_amortized("slcp", "npe", 30000), "npe", "slcp", 30000),
+    "nle_iid_slcp": (lambda: run_nle_iid_slcp(10000), "nle-iid", "slcp", 10000),
+    "nle_iid_slcp_30k": (lambda: run_nle_iid_slcp(30000), "nle-iid", "slcp", 30000),
+    "snle_iid_slcp": (lambda: run_nle_iid_slcp(12000, rounds=4), "snle-iid", "slcp", 12000),
 }
 
 

@@ -109,3 +109,27 @@ def test_iid_score_composition():
         assert bool(jnp.isfinite(s).all()), method
         # multi-observation posterior must be tighter than single-obs
         assert float(s.std(0).mean()) < float(s1.std(0).mean()), method
+
+
+def test_proposal_cache_single_trace():
+    """Repeated sample() calls — including with a different observation and
+    both SDE/ODE methods — must reuse one compiled solver per static config
+    (the jitted proposal is pure over (params, x, key))."""
+    import pickle
+
+    prior, theta, x, x_o, _ = _setup(num_simulations=500)
+    inf = NPSE(prior=prior, sde_type="vp")
+    inf.append_simulations(theta, x).train(
+        training_batch_size=100, max_num_epochs=3
+    )
+    post = inf.build_posterior()
+    for i in range(3):
+        post.sample((200,), x=x_o, key=jax.random.PRNGKey(i), steps=50)
+    post.sample((200,), x=x_o + 0.5, key=jax.random.PRNGKey(5), steps=50)
+    post.sample_via_ode((200,), x=x_o, key=jax.random.PRNGKey(6))
+    sizes = {k: v._cache_size() for k, v in post._proposal_cache.items()}
+    assert len(sizes) == 2 and all(v == 1 for v in sizes.values()), sizes
+    # jit closures must not leak into pickles; sampling works after reload.
+    post2 = pickle.loads(pickle.dumps(post))
+    s = post2.sample((50,), x=x_o, key=jax.random.PRNGKey(7), steps=50)
+    assert bool(jnp.isfinite(s).all())
