@@ -33,7 +33,14 @@ class NeuralPosterior:
         self.potential_fn = potential_fn
         self.theta_transform = theta_transform or IdentityTransform()
         self._x_shape = x_shape
-        self.default_x: Optional[Array] = None
+        # If the potential was built with x_o already (sampler interface,
+        # ref base_posterior.py:77-80), the posterior inherits it as its
+        # default observation.
+        self.default_x: Optional[Array] = (
+            potential_fn.return_x_o()
+            if hasattr(potential_fn, "return_x_o")
+            else None
+        )
         self._map = None
         self._purpose = ""
 

@@ -24,7 +24,7 @@ from ...samplers.mcmc.init_strategy import (
     sir_init,
 )
 from ...samplers.mcmc.slice_jax import run_slice_vectorized
-from ...utils.sbiutils import ensure_theta_batched, next_key
+from ...utils.sbiutils import draw_from_proposal, ensure_theta_batched, next_key
 from ...utils.transforms import IdentityTransform, transformed_potential
 from .base_posterior import NeuralPosterior
 
@@ -248,7 +248,7 @@ class MCMCPosterior(NeuralPosterior):
         # potential (no per-b set_x mutation, no host loop).
         k_init, k_run = jax.random.split(key)
         n_cand = int(kwargs.pop("num_init_candidates", 1024))
-        cand = self.proposal.sample(k_init, (n_cand,))
+        cand = draw_from_proposal(self.proposal, k_init, n_cand)
         pot_score = self.potential_fn.batched_over_x(x, n_cand)
         cand_tiled = jnp.tile(cand, (B, 1))
         logw = pot_score(cand_tiled).reshape(B, n_cand)

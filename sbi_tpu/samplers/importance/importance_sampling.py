@@ -11,7 +11,7 @@ from typing import Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ...utils.sbiutils import next_key
+from ...utils.sbiutils import draw_from_proposal, next_key
 
 Array = jax.Array
 
@@ -24,7 +24,7 @@ def importance_sample(
 ) -> Tuple[Array, Array]:
     """Draw from proposal, return (samples, log importance weights)."""
     key = next_key(key)
-    samples = proposal.sample(key, (num_samples,))
+    samples = draw_from_proposal(proposal, key, num_samples)
     potential_logprobs = potential_fn(samples)
     proposal_logprobs = proposal.log_prob(samples)
     log_weights = potential_logprobs - proposal_logprobs

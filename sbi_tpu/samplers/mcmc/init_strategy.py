@@ -12,14 +12,14 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from ...utils.sbiutils import next_key
+from ...utils.sbiutils import draw_from_proposal, next_key
 
 Array = jax.Array
 
 
 def proposal_init(proposal, num_chains: int, key=None) -> Array:
     """Draw chain inits from the proposal (usually the prior)."""
-    return proposal.sample(next_key(key), (num_chains,))
+    return draw_from_proposal(proposal, next_key(key), num_chains)
 
 
 def resample_given_potential_fn(
@@ -32,7 +32,7 @@ def resample_given_potential_fn(
     """Resample candidates with weights softmax(potential) (ref `:40-67`)."""
     key = next_key(key)
     k1, k2 = jax.random.split(key)
-    cand = proposal.sample(k1, (num_candidate_samples,))
+    cand = draw_from_proposal(proposal, k1, num_candidate_samples)
     logw = potential_fn(cand)
     logw = jnp.where(jnp.isfinite(logw), logw, -jnp.inf)
     idx = jax.random.categorical(k2, logw, shape=(num_chains,))
@@ -52,7 +52,7 @@ def sir_init(
     key = next_key(key)
     k1, k2 = jax.random.split(key)
     n = sir_num_batches * sir_batch_size
-    cand = proposal.sample(k1, (n,))
+    cand = draw_from_proposal(proposal, k1, n)
     logw = potential_fn(cand) - proposal.log_prob(cand)
     logw = jnp.where(jnp.isfinite(logw), logw, -jnp.inf)
     idx = jax.random.categorical(k2, logw, shape=(num_chains,))

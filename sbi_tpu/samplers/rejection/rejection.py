@@ -17,7 +17,7 @@ from typing import Any, Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ...utils.sbiutils import next_key, within_support
+from ...utils.sbiutils import draw_from_proposal, next_key, within_support
 
 Array = jax.Array
 
@@ -135,7 +135,7 @@ def rejection_sample(
 
     # --- find the maximum of the density ratio -----------------------------
     key, k1 = jax.random.split(key)
-    cand = proposal.sample(k1, (num_samples_to_find_max,))
+    cand = draw_from_proposal(proposal, k1, num_samples_to_find_max)
     ratio = potential_fn(cand) - proposal.log_prob(cand)
     best = cand[jnp.argmax(ratio)]
 
@@ -181,7 +181,7 @@ def rejection_sample(
     num_accepted, num_total = 0, 0
     while num_accepted < num_samples:
         key, ks, ku = jax.random.split(key, 3)
-        candidates = proposal.sample(ks, (sample_batch_size,))
+        candidates = draw_from_proposal(proposal, ks, sample_batch_size)
         mask = accept_fn_with_key(candidates, ku)
         acc = candidates[mask]
         accepted.append(acc)

@@ -39,6 +39,20 @@ def next_key(key: Optional[Array] = None) -> Array:
     return sub
 
 
+def draw_from_proposal(proposal, key: Array, num_samples: int) -> Array:
+    """Sample ``(num_samples, *event)`` from either sampling convention.
+
+    Priors/Distributions use ``sample(key, shape)``; trained posteriors use
+    ``sample(shape, x=..., key=...)`` (the reference passes posteriors as
+    proposals to rejection/importance/init-strategy code paths, e.g.
+    ref `importance_sampling.py:76`, `rejection.py:231`)."""
+    from ..inference.posteriors.base_posterior import NeuralPosterior
+
+    if isinstance(proposal, NeuralPosterior):
+        return proposal.sample((num_samples,), key=key)
+    return proposal.sample(key, (num_samples,))
+
+
 # ---------------------------------------------------------------------------
 # z-scoring (mirror of `sbi/utils/sbiutils.py:235-432`)
 # ---------------------------------------------------------------------------

@@ -30,10 +30,19 @@ def simulate_for_sbi(
     show_progress_bar: bool = True,
     key=None,
 ) -> Tuple[Array, Array]:
-    """Sample theta ~ proposal, simulate x = sim(theta); returns (theta, x)."""
+    """Sample theta ~ proposal, simulate x = sim(theta); returns (theta, x).
+
+    ``proposal`` may be a prior Distribution (``sample(key, shape)``) or a
+    trained posterior (``sample(shape, x=..., key=...)`` — the multiround
+    workflow of ref tutorial 02 passes ``posterior.set_default_x(x_o)``)."""
     key = next_key(key if key is not None else (jax.random.PRNGKey(seed) if seed is not None else None))
     k_theta, k_sim = jax.random.split(key)
-    theta = proposal.sample(k_theta, (num_simulations,))
+    from ..inference.posteriors.base_posterior import NeuralPosterior
+
+    if isinstance(proposal, NeuralPosterior):
+        theta = proposal.sample((num_simulations,), key=k_theta)
+    else:
+        theta = proposal.sample(k_theta, (num_simulations,))
 
     if num_workers > 1:
         # Host process pool for black-box CPU simulators.

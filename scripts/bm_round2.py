@@ -155,7 +155,9 @@ def run_tsnpe(task, rounds, per_round, obs_list=(0, 1, 2), quantile=1e-4,
 
 
 def run_nle_iid_slcp(num_simulations, obs_list=(0, 1, 2), rounds=1,
-                     per_round=None, **est_kw):
+                     per_round=None, batch_size=200, patience=150,
+                     eval_thin=1, eval_chains=200, eval_warmup=300,
+                     **est_kw):
     """SLCP with the likelihood factorized over its 4 iid 2-D points.
 
     x = 4 iid draws of N(m(theta), S(theta)); training the conditional
@@ -168,14 +170,15 @@ def run_nle_iid_slcp(num_simulations, obs_list=(0, 1, 2), rounds=1,
 
     bench = get_bench_task("slcp")
     prior = bench.prior
-    mcmc_kw = dict(num_chains=200, warmup_steps=300)
+    mcmc_kw = dict(num_chains=eval_chains, warmup_steps=eval_warmup,
+                   thin=eval_thin)
 
     def as_points(theta, x):
         return jnp.repeat(theta, 4, axis=0), x.reshape(-1, 2)
 
-    scores = []
-    for i in obs_list:
-        t0 = time.time()
+    def train_for(i):
+        """rounds=1: amortized likelihood (observation enters only at
+        sampling time); rounds>1: sequential refinement near obs i."""
         seed_all_backends(i)
         x_o = bench.get_observation(i).reshape(4, 2)
         est = likelihood_nn("nsf", **est_kw) if est_kw else "nsf"
@@ -191,10 +194,19 @@ def run_nle_iid_slcp(num_simulations, obs_list=(0, 1, 2), rounds=1,
                 )
             x = bench.simulator(theta, key=jr.PRNGKey(200 * i + r))
             inference.append_simulations(*as_points(theta, x))
-            inference.train(training_batch_size=200, epoch_chunk=EPOCH_CHUNK,
-                            stop_after_epochs=150)
+            inference.train(training_batch_size=batch_size,
+                            epoch_chunk=EPOCH_CHUNK,
+                            stop_after_epochs=patience)
             posterior = inference.build_posterior().set_default_x(x_o)
             proposal = posterior
+        return posterior
+
+    scores = []
+    shared = train_for(obs_list[0]) if rounds == 1 else None
+    for i in obs_list:
+        t0 = time.time()
+        posterior = shared if shared is not None else train_for(i)
+        posterior.set_default_x(bench.get_observation(i).reshape(4, 2))
         s, _ = _eval(posterior, bench, i, mcmc=True, mcmc_kw=mcmc_kw)
         scores.append(s)
         print(f"  obs {i}: c2st={s:.4f} ({time.time()-t0:.0f}s)", flush=True)
@@ -219,6 +231,18 @@ EXPERIMENTS = {
     "nle_iid_slcp": (lambda: run_nle_iid_slcp(10000), "nle-iid", "slcp", 10000),
     "nle_iid_slcp_30k": (lambda: run_nle_iid_slcp(30000), "nle-iid", "slcp", 30000),
     "snle_iid_slcp": (lambda: run_nle_iid_slcp(12000, rounds=4), "snle-iid", "slcp", 12000),
+    # Scaled-up fit: the c2st plateau is likelihood-model error (the FSM
+    # sampler on the exact likelihood reaches 0.49), so spend capacity+data.
+    "nle_iid_slcp_big": (lambda: run_nle_iid_slcp(
+        50000, batch_size=500, patience=300, eval_thin=5,
+        eval_chains=400, eval_warmup=500,
+        hidden_features=128, num_transforms=8, num_bins=16,
+    ), "nle-iid-big", "slcp", 50000),
+    "snle_iid_slcp_big": (lambda: run_nle_iid_slcp(
+        24000, rounds=4, batch_size=500, patience=300, eval_thin=5,
+        eval_chains=400, eval_warmup=500,
+        hidden_features=128, num_transforms=8, num_bins=16,
+    ), "snle-iid-big", "slcp", 24000),
 }
 
 
