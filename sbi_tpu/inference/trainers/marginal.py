@@ -34,6 +34,7 @@ class MarginalTrainer(NeuralInference):
             logging_level=logging_level,
             summary_writer=summary_writer,
             show_progress_bars=show_progress_bars,
+            tracker=kwargs.pop("tracker", None),
         )
         if isinstance(density_estimator, str):
             self._build_neural_net = marginal_nn(model=density_estimator)

@@ -55,6 +55,7 @@ class RatioEstimatorTrainer(NeuralInference):
             logging_level=logging_level,
             summary_writer=summary_writer,
             show_progress_bars=show_progress_bars,
+            tracker=kwargs.pop("tracker", None),
         )
         if isinstance(classifier, str):
             self._build_neural_net = classifier_nn(model=classifier)

@@ -38,6 +38,7 @@ class VectorFieldTrainer(NeuralInference):
             logging_level=logging_level,
             summary_writer=summary_writer,
             show_progress_bars=show_progress_bars,
+            tracker=kwargs.pop("tracker", None),
         )
         if isinstance(density_estimator, str):
             self._build_neural_net = self._default_builder(density_estimator)

@@ -78,8 +78,9 @@ def run_sequential_nle(task, rounds, per_round, obs_list=(0, 1, 2)):
     return scores
 
 
-def run_amortized(task, method, num_simulations, obs_list=(0, 1, 2), **est_kw):
-    from sbi_tpu.inference import NLE_A, NPE, NRE_B
+def run_amortized(task, method, num_simulations, obs_list=(0, 1, 2),
+                  batch_size=100, patience=150, sample_kw=None, **est_kw):
+    from sbi_tpu.inference import FMPE, NLE_A, NPE, NPSE, NRE_B
     from sbi_tpu.neural_nets.factory import posterior_nn
 
     bench = get_bench_task(task)
@@ -92,15 +93,27 @@ def run_amortized(task, method, num_simulations, obs_list=(0, 1, 2), **est_kw):
         inference = NPE(prior=prior, density_estimator=est)
     elif method == "nle":
         inference = NLE_A(prior=prior)
+    elif method == "fmpe":
+        from sbi_tpu.neural_nets.factory import posterior_flow_nn
+
+        est = posterior_flow_nn(**est_kw) if est_kw else "mlp"
+        inference = FMPE(prior=prior, density_estimator=est)
+    elif method == "npse":
+        from sbi_tpu.neural_nets.factory import posterior_score_nn
+
+        est = posterior_score_nn(**est_kw) if est_kw else "mlp"
+        inference = NPSE(prior=prior, density_estimator=est)
     else:
         inference = NRE_B(prior=prior)
     inference.append_simulations(theta, x)
-    inference.train(training_batch_size=100, epoch_chunk=EPOCH_CHUNK, stop_after_epochs=150)
+    inference.train(training_batch_size=batch_size, epoch_chunk=EPOCH_CHUNK,
+                    stop_after_epochs=patience)
     scores = []
     for i in obs_list:
         x_o = bench.get_observation(i)
         posterior = inference.build_posterior().set_default_x(x_o)
-        s, _ = _eval(posterior, bench, i, mcmc=method in ("nle", "nre"))
+        s, _ = _eval(posterior, bench, i, mcmc=method in ("nle", "nre"),
+                     mcmc_kw=sample_kw)
         scores.append(s)
         print(f"  obs {i}: c2st={s:.4f}", flush=True)
     return scores
@@ -243,6 +256,18 @@ EXPERIMENTS = {
         eval_chains=400, eval_warmup=500,
         hidden_features=128, num_transforms=8, num_bins=16,
     ), "snle-iid-big", "slcp", 24000),
+    "fmpe_tm_30k": (lambda: run_amortized(
+        "two_moons", "fmpe", 30000, batch_size=200,
+        model="ada_mlp", hidden_features=256, num_layers=6,
+    ), "fmpe", "two_moons", 30000),
+    "npse_tm_30k": (lambda: run_amortized(
+        "two_moons", "npse", 30000, batch_size=200,
+        model="ada_mlp", sde_type="vp", hidden_features=256, num_layers=6,
+    ), "npse", "two_moons", 30000),
+    "nre_tm_30k": (lambda: run_amortized(
+        "two_moons", "nre", 30000, batch_size=200,
+        sample_kw=dict(num_chains=200, warmup_steps=300, thin=3),
+    ), "nre", "two_moons", 30000),
 }
 
 
