@@ -128,7 +128,9 @@ def test_proposal_cache_single_trace():
     post.sample((200,), x=x_o + 0.5, key=jax.random.PRNGKey(5), steps=50)
     post.sample_via_ode((200,), x=x_o, key=jax.random.PRNGKey(6))
     sizes = {k: v._cache_size() for k, v in post._proposal_cache.items()}
-    assert len(sizes) == 2 and all(v == 1 for v in sizes.values()), sizes
+    # One compiled program per distinct batch size (rejection resizing may
+    # introduce a second n) — NOT one per sample() call (4 SDE + 1 ODE).
+    assert len(sizes) == 2 and all(v <= 2 for v in sizes.values()), sizes
     # jit closures must not leak into pickles; sampling works after reload.
     post2 = pickle.loads(pickle.dumps(post))
     s = post2.sample((50,), x=x_o, key=jax.random.PRNGKey(7), steps=50)
