@@ -151,3 +151,47 @@ def test_examples_minimal():
     for fn in (simple, flexible):
         s = fn()
         assert s.shape[0] == 100 and bool(jnp.isfinite(s).all()), fn.__name__
+
+
+def test_profiling_helpers(tmp_path):
+    """Profiling hooks: trace context writes a capture, timed() blocks on
+    device work, Timer phases accumulate (utils/profiling.py)."""
+    from sbi_tpu.utils.profiling import Timer, annotate, timed, trace
+
+    @jax.jit
+    def f(a):
+        return (a @ a.T).sum()
+
+    a = jax.random.normal(jax.random.PRNGKey(0), (64, 64))
+    out, dt = timed(f, a, warmup=1, iters=2)
+    assert jnp.isfinite(out) and dt > 0
+
+    timer = Timer()
+    with timer.phase("matmul", block_on=None):
+        f(a)
+    assert timer.summary()["matmul"]["calls"] == 1
+
+    logdir = str(tmp_path / "prof")
+    with trace(logdir):
+        with annotate("traced-matmul"):
+            f(a).block_until_ready()
+    import os
+
+    assert any(os.scandir(logdir)), "no profiler capture written"
+
+
+def test_training_summary():
+    from sbi_tpu.inference import NPE
+    from sbi_tpu.utils.profiling import training_summary
+
+    seed_all_backends(0)
+    prior = BoxUniform(-2 * jnp.ones(2), 2 * jnp.ones(2))
+    theta = prior.sample(jax.random.PRNGKey(0), (300,))
+    x = theta + 0.3 * jax.random.normal(jax.random.PRNGKey(1), theta.shape)
+    inf = NPE(prior=prior)
+    inf.append_simulations(theta, x).train(
+        training_batch_size=50, max_num_epochs=4, stop_after_epochs=4
+    )
+    digest = training_summary(inf, batch_size=50)
+    assert digest["epochs"] == 4 and digest["total_train_s"] > 0
+    assert digest["steps_per_sec"] > 0
