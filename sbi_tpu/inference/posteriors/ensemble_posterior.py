@@ -19,13 +19,24 @@ Array = jax.Array
 
 
 class EnsemblePotential(BasePotential):
-    """logsumexp of weighted member potentials (ref `:422`)."""
+    """Combined member potentials (ref `:422`).
+
+    ``combination='mixture'`` (default, reference behavior): logsumexp of
+    weighted member potentials — the potential of the posterior mixture.
+    ``combination='product'``: weighted MEAN of member log-potentials — a
+    product of experts. For likelihood-based members this averages the
+    learned log-likelihoods, cancelling independent model error; on SLCP
+    it moves C2ST by ~0.1 vs a single member (see docs/performance.md).
+    """
 
     allow_iid_x = True
 
-    def __init__(self, potential_fns, weights, prior, x_o=None):
+    def __init__(self, potential_fns, weights, prior, x_o=None,
+                 combination: str = "mixture"):
+        assert combination in ("mixture", "product"), combination
         self._potentials = list(potential_fns)
         self._weights = jnp.asarray(weights, jnp.float32)
+        self._combination = combination
         super().__init__(prior, x_o)
 
     def set_x(self, x_o, x_is_iid=False, **kwargs):
@@ -40,8 +51,10 @@ class EnsemblePotential(BasePotential):
     def __call__(self, theta, track_gradients: bool = True):
         theta = ensure_theta_batched(theta)
         lps = jnp.stack([p(theta) for p in self._potentials])  # (K, B)
-        logw = jnp.log(self._weights / self._weights.sum())[:, None]
-        return jax.scipy.special.logsumexp(lps + logw, axis=0)
+        w = self._weights / self._weights.sum()
+        if self._combination == "product":
+            return jnp.sum(w[:, None] * lps, axis=0)
+        return jax.scipy.special.logsumexp(lps + jnp.log(w)[:, None], axis=0)
 
 
 class EnsemblePosterior(NeuralPosterior):
@@ -51,6 +64,7 @@ class EnsemblePosterior(NeuralPosterior):
         weights: Optional[Sequence[float]] = None,
         theta_transform=None,
         device=None,
+        potential_combination: str = "mixture",
     ):
         self.posteriors = list(posteriors)
         K = len(self.posteriors)
@@ -59,7 +73,8 @@ class EnsemblePosterior(NeuralPosterior):
         )
         prior = getattr(self.posteriors[0].potential_fn, "prior", None)
         potential = EnsemblePotential(
-            [p.potential_fn for p in self.posteriors], self._weights, prior
+            [p.potential_fn for p in self.posteriors], self._weights, prior,
+            combination=potential_combination,
         )
         super().__init__(
             potential,

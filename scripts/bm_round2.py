@@ -226,6 +226,67 @@ def run_nle_iid_slcp(num_simulations, obs_list=(0, 1, 2), rounds=1,
     return scores
 
 
+def run_nle_iid_ens_slcp(num_simulations, n_members=3, obs_list=(0, 1, 2),
+                         patience=150, **est_kw):
+    """Product-of-experts NLE on SLCP: average the log-likelihoods of
+    independently trained iid-factorized members.
+
+    Member fit error is the C2ST bottleneck (the FSM sampler on the exact
+    likelihood reaches 0.49); mean-of-log-liks cancels independent model
+    error (CPU probe: member corrs .86/.70/.82 -> ensemble .90, c2st
+    0.648 -> 0.559 at 6k sims). Prior-spread chain inits preserve the 4
+    symmetric modes (resample-init concentrates chains)."""
+    from sbi_tpu.inference import MCMCPosterior, NLE_A
+    from sbi_tpu.inference.potentials.base_potential import (
+        CustomPotentialWrapper,
+    )
+    from sbi_tpu.inference.potentials.likelihood_based_potential import (
+        _log_likelihoods_over_trials,
+    )
+    from sbi_tpu.neural_nets.factory import likelihood_nn
+
+    bench = get_bench_task("slcp")
+    prior = bench.prior
+    ests = []
+    for m in range(n_members):
+        t0 = time.time()
+        seed_all_backends(1000 + m)
+        theta = prior.sample(jr.PRNGKey(500 + m), (num_simulations,))
+        x = bench.simulator(theta, key=jr.PRNGKey(600 + m))
+        est = likelihood_nn("nsf", **est_kw) if est_kw else "nsf"
+        inf = NLE_A(prior=prior, density_estimator=est)
+        inf.append_simulations(jnp.repeat(theta, 4, axis=0), x.reshape(-1, 2))
+        inf.train(training_batch_size=200, epoch_chunk=EPOCH_CHUNK,
+                  stop_after_epochs=patience)
+        ests.append(inf._neural_net.snapshot())
+        print(f"  member {m} trained ({time.time()-t0:.0f}s)", flush=True)
+
+    scores = []
+    for i in obs_list:
+        t0 = time.time()
+        x_o = bench.get_observation(i).reshape(4, 2)
+
+        def potential(theta, x_o=x_o):
+            ll = sum(
+                _log_likelihoods_over_trials(x_o, theta, e) for e in ests
+            ) / len(ests)
+            return ll + prior.log_prob(theta)
+
+        post = MCMCPosterior(
+            CustomPotentialWrapper(potential, prior=prior),
+            proposal=prior,
+            num_chains=200,
+            warmup_steps=500,
+            thin=5,
+            init_strategy="proposal",
+        ).set_default_x(x_o)
+        s, _ = _eval(post, bench, i, mcmc=True,
+                     mcmc_kw=dict(num_chains=200, warmup_steps=500, thin=5))
+        scores.append(s)
+        print(f"  obs {i}: c2st={s:.4f} ({time.time()-t0:.0f}s)", flush=True)
+    return scores
+
+
 EXPERIMENTS = {
     # name: (callable, label, task, num_simulations)
     "snle_slcp": (lambda: run_sequential_nle("slcp", 10, 3000), "snle", "slcp", 30000),
@@ -256,6 +317,10 @@ EXPERIMENTS = {
         eval_chains=400, eval_warmup=500,
         hidden_features=128, num_transforms=8, num_bins=16,
     ), "snle-iid-big", "slcp", 24000),
+    "nle_iid_ens_slcp": (lambda: run_nle_iid_ens_slcp(30000, n_members=3),
+                         "nle-iid-ens3", "slcp", 30000),
+    "nle_iid_ens5_slcp": (lambda: run_nle_iid_ens_slcp(30000, n_members=5),
+                          "nle-iid-ens5", "slcp", 30000),
     "fmpe_tm_30k": (lambda: run_amortized(
         "two_moons", "fmpe", 30000, batch_size=200,
         model="ada_mlp", hidden_features=256, num_layers=6,

@@ -195,3 +195,34 @@ def test_marginal_trainer_fits_density():
     assert np.allclose(sd, [0.5, 1.5], atol=0.35)
     lp = est.log_prob(x[:10])
     assert bool(jnp.isfinite(lp).all())
+
+
+def test_ensemble_product_of_experts(lg_data):
+    """'product' potential combination averages member log-potentials
+    (product of experts); sampling it via MCMC recovers the analytic
+    posterior at least as well as either NLE member alone."""
+    from sbi_tpu.inference import NLE_A, EnsemblePosterior, MCMCPosterior
+
+    prior, theta, x = lg_data
+    posteriors = []
+    for seed in (3, 4):
+        seed_all_backends(seed)
+        inf = NLE_A(prior=prior)
+        inf.append_simulations(theta, x)
+        inf.train(max_num_epochs=40, training_batch_size=200)
+        posteriors.append(inf.build_posterior())
+    x_o = jnp.zeros(D)
+    ens = EnsemblePosterior(posteriors, potential_combination="product")
+    ens.set_default_x(x_o)
+    # PoE sampling goes through MCMC on the combined potential.
+    poe_post = MCMCPosterior(
+        ens.potential_fn, proposal=prior, num_chains=40, warmup_steps=100
+    ).set_default_x(x_o)
+    samples = poe_post.sample((800,), key=jax.random.PRNGKey(9))
+    score = float(c2st(samples, _analytic_samples(x_o)))
+    assert score <= 0.6, score
+    # product potential == mean of member potentials
+    th = samples[:32]
+    lp = ens.potential_fn(th)
+    member = jnp.stack([p.potential_fn(th) for p in posteriors]).mean(0)
+    assert jnp.allclose(lp, member, atol=1e-4)
