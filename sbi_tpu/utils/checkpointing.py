@@ -1,0 +1,102 @@
+"""Orbax-backed checkpointing for estimator/trainer state.
+
+`NeuralInference.save()`/`.load()` pickle the whole trainer (reference
+parity, `trainers/base.py:1311-1346`). That breaks down exactly where TPU
+runs need checkpoints most: sharded params on a multi-chip mesh (pickling
+gathers to host), async saves during long trainings, and atomicity against
+preemption. This module provides the TPU-native path: an Orbax
+`StandardCheckpointer` over the (params, opt_state, metadata) pytree.
+Restore is shape/sharding-aware — pass a target pytree with the desired
+shardings and orbax places shards directly on the right devices.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+
+__all__ = ["save_pytree", "restore_pytree", "save_training_state",
+           "restore_training_state"]
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer()
+
+
+def save_pytree(path: str, tree: Any) -> str:
+    """Atomically write a pytree of arrays to ``path`` (a directory)."""
+    path = os.path.abspath(os.path.expanduser(path))
+    ckpt = _checkpointer()
+    ckpt.save(path, tree, force=True)
+    ckpt.wait_until_finished()
+    return path
+
+
+def restore_pytree(path: str, like: Optional[Any] = None) -> Any:
+    """Restore a pytree. ``like`` (a pytree of arrays or ShapeDtypeStructs,
+    optionally with shardings) restores directly into that structure —
+    required for sharded multi-chip params."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.expanduser(path))
+    ckpt = _checkpointer()
+    if like is None:
+        return ckpt.restore(path)
+    target = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype,
+                                       sharding=getattr(a, "sharding", None))
+        if hasattr(a, "shape")
+        else a,
+        like,
+    )
+    return ckpt.restore(path, target)
+
+
+def save_training_state(path: str, inference) -> str:
+    """Checkpoint a trainer's resumable state: estimator params, optimizer
+    state, and the round/epoch counters. Use with
+    ``train(resume_training=True)`` after :func:`restore_training_state`."""
+    state = {
+        "params": inference._neural_net.params,
+        "opt_state": inference._opt_state,
+        "counters": {
+            "epoch": inference._epoch,
+            "round": inference._round,
+            "best_val_loss": inference._best_val_loss,
+            "epochs_since_improvement": inference._epochs_since_last_improvement,
+        },
+    }
+    if inference._best_params is not None:
+        state["best_params"] = inference._best_params
+    return save_pytree(path, state)
+
+
+def restore_training_state(path: str, inference) -> None:
+    """Load a checkpoint written by :func:`save_training_state` into a
+    trainer whose net has already been built (same architecture)."""
+    like = {
+        "params": inference._neural_net.params,
+        "opt_state": inference._opt_state,
+        "counters": {
+            "epoch": 0,
+            "round": 0,
+            "best_val_loss": 0.0,
+            "epochs_since_improvement": 0,
+        },
+    }
+    if inference._best_params is not None:
+        like["best_params"] = inference._best_params
+    state = restore_pytree(path, like)
+    inference._neural_net.params = state["params"]
+    inference._opt_state = state["opt_state"]
+    c = state["counters"]
+    inference._epoch = int(c["epoch"])
+    inference._round = int(c["round"])
+    inference._best_val_loss = float(c["best_val_loss"])
+    inference._epochs_since_last_improvement = int(c["epochs_since_improvement"])
+    if "best_params" in state:
+        inference._best_params = state["best_params"]

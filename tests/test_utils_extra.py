@@ -195,3 +195,39 @@ def test_training_summary():
     digest = training_summary(inf, batch_size=50)
     assert digest["epochs"] == 4 and digest["total_train_s"] > 0
     assert digest["steps_per_sec"] > 0
+
+
+def test_orbax_checkpointing(tmp_path):
+    """Orbax training-state checkpoint round-trips params/opt state and
+    counters; training resumes from the restored state
+    (utils/checkpointing.py)."""
+    from sbi_tpu.inference import NPE
+    from sbi_tpu.utils.checkpointing import (
+        restore_training_state,
+        save_training_state,
+    )
+
+    seed_all_backends(0)
+    prior = BoxUniform(-2 * jnp.ones(2), 2 * jnp.ones(2))
+    theta = prior.sample(jax.random.PRNGKey(0), (300,))
+    x = theta + 0.3 * jax.random.normal(jax.random.PRNGKey(1), theta.shape)
+    inf = NPE(prior=prior)
+    inf.append_simulations(theta, x).train(
+        training_batch_size=50, max_num_epochs=3, stop_after_epochs=10
+    )
+    path = str(tmp_path / "ckpt")
+    save_training_state(path, inf)
+
+    inf2 = NPE(prior=prior)
+    inf2.append_simulations(theta, x).train(
+        training_batch_size=50, max_num_epochs=1, stop_after_epochs=10
+    )
+    restore_training_state(path, inf2)
+    assert inf2._epoch == inf._epoch
+    p1 = jax.tree_util.tree_leaves(inf._neural_net.params)
+    p2 = jax.tree_util.tree_leaves(inf2._neural_net.params)
+    assert all(jnp.allclose(a, b) for a, b in zip(p1, p2))
+    # resumes and keeps training from the restored epoch counter
+    inf2.train(training_batch_size=50, max_num_epochs=5, stop_after_epochs=10,
+               resume_training=True)
+    assert inf2._epoch >= inf._epoch
