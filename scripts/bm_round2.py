@@ -227,7 +227,7 @@ def run_nle_iid_slcp(num_simulations, obs_list=(0, 1, 2), rounds=1,
 
 
 def run_nle_iid_ens_slcp(num_simulations, n_members=3, obs_list=(0, 1, 2),
-                         patience=150, **est_kw):
+                         patience=150, rounds=1, **est_kw):
     """Product-of-experts NLE on SLCP: average the log-likelihoods of
     independently trained iid-factorized members.
 
@@ -247,32 +247,16 @@ def run_nle_iid_ens_slcp(num_simulations, n_members=3, obs_list=(0, 1, 2),
 
     bench = get_bench_task("slcp")
     prior = bench.prior
-    ests = []
-    for m in range(n_members):
-        t0 = time.time()
-        seed_all_backends(1000 + m)
-        theta = prior.sample(jr.PRNGKey(500 + m), (num_simulations,))
-        x = bench.simulator(theta, key=jr.PRNGKey(600 + m))
-        est = likelihood_nn("nsf", **est_kw) if est_kw else "nsf"
-        inf = NLE_A(prior=prior, density_estimator=est)
-        inf.append_simulations(jnp.repeat(theta, 4, axis=0), x.reshape(-1, 2))
-        inf.train(training_batch_size=200, epoch_chunk=EPOCH_CHUNK,
-                  stop_after_epochs=patience)
-        ests.append(inf._neural_net.snapshot())
-        print(f"  member {m} trained ({time.time()-t0:.0f}s)", flush=True)
+    per_round = num_simulations // rounds
 
-    scores = []
-    for i in obs_list:
-        t0 = time.time()
-        x_o = bench.get_observation(i).reshape(4, 2)
-
-        def potential(theta, x_o=x_o):
+    def make_poe_posterior(ests, x_o):
+        def potential(theta, x_o=x_o, ests=tuple(ests)):
             ll = sum(
                 _log_likelihoods_over_trials(x_o, theta, e) for e in ests
             ) / len(ests)
             return ll + prior.log_prob(theta)
 
-        post = MCMCPosterior(
+        return MCMCPosterior(
             CustomPotentialWrapper(potential, prior=prior),
             proposal=prior,
             num_chains=200,
@@ -280,6 +264,52 @@ def run_nle_iid_ens_slcp(num_simulations, n_members=3, obs_list=(0, 1, 2),
             thin=5,
             init_strategy="proposal",
         ).set_default_x(x_o)
+
+    infs = []
+    for m in range(n_members):
+        t0 = time.time()
+        seed_all_backends(1000 + m)
+        theta = prior.sample(jr.PRNGKey(500 + m), (per_round,))
+        x = bench.simulator(theta, key=jr.PRNGKey(600 + m))
+        est = likelihood_nn("nsf", **est_kw) if est_kw else "nsf"
+        inf = NLE_A(prior=prior, density_estimator=est)
+        inf.append_simulations(jnp.repeat(theta, 4, axis=0), x.reshape(-1, 2))
+        inf.train(training_batch_size=200, epoch_chunk=EPOCH_CHUNK,
+                  stop_after_epochs=patience)
+        infs.append(inf)
+        print(f"  member {m} trained ({time.time()-t0:.0f}s)", flush=True)
+
+    for r in range(1, rounds):
+        # Sequential refinement: new thetas from the CURRENT PoE posterior,
+        # pooled over the benchmark observations so one member set stays
+        # shared; members draw independent proposal samples.
+        ests = [inf._neural_net.snapshot() for inf in infs]
+        for m, inf in enumerate(infs):
+            t0 = time.time()
+            parts = []
+            n_per_obs = per_round // len(obs_list)
+            for i in obs_list:
+                x_o = bench.get_observation(i).reshape(4, 2)
+                post = make_poe_posterior(ests, x_o)
+                parts.append(post.sample(
+                    (n_per_obs,), key=jr.PRNGKey(7000 + 100 * r + 10 * m + i),
+                    num_chains=200, warmup_steps=300, thin=3,
+                ))
+            theta = jnp.concatenate(parts)
+            x = bench.simulator(theta, key=jr.PRNGKey(800 + 10 * r + m))
+            inf.append_simulations(jnp.repeat(theta, 4, axis=0),
+                                   x.reshape(-1, 2))
+            inf.train(training_batch_size=200, epoch_chunk=EPOCH_CHUNK,
+                      stop_after_epochs=patience)
+            print(f"  member {m} round {r} ({time.time()-t0:.0f}s)",
+                  flush=True)
+
+    ests = [inf._neural_net.snapshot() for inf in infs]
+    scores = []
+    for i in obs_list:
+        t0 = time.time()
+        x_o = bench.get_observation(i).reshape(4, 2)
+        post = make_poe_posterior(ests, x_o)
         s, _ = _eval(post, bench, i, mcmc=True,
                      mcmc_kw=dict(num_chains=200, warmup_steps=500, thin=5))
         scores.append(s)
@@ -321,6 +351,8 @@ EXPERIMENTS = {
                          "nle-iid-ens3", "slcp", 30000),
     "nle_iid_ens5_slcp": (lambda: run_nle_iid_ens_slcp(30000, n_members=5),
                           "nle-iid-ens5", "slcp", 30000),
+    "snle_iid_ens5_slcp": (lambda: run_nle_iid_ens_slcp(
+        40000, n_members=5, rounds=2), "snle-iid-ens5", "slcp", 40000),
     "fmpe_tm_30k": (lambda: run_amortized(
         "two_moons", "fmpe", 30000, batch_size=200,
         model="ada_mlp", hidden_features=256, num_layers=6,
