@@ -52,7 +52,7 @@ class EnsemblePotential(BasePotential):
         theta = ensure_theta_batched(theta)
         lps = jnp.stack([p(theta) for p in self._potentials])  # (K, B)
         w = self._weights / self._weights.sum()
-        if self._combination == "product":
+        if getattr(self, "_combination", "mixture") == "product":
             return jnp.sum(w[:, None] * lps, axis=0)
         return jax.scipy.special.logsumexp(lps + jnp.log(w)[:, None], axis=0)
 
@@ -81,11 +81,22 @@ class EnsemblePosterior(NeuralPosterior):
             theta_transform or self.posteriors[0].theta_transform,
             device,
         )
-        self._purpose = "EnsemblePosterior: weighted mixture of posteriors."
+        self._combination = potential_combination
+        self._purpose = (
+            "EnsemblePosterior: weighted mixture of posteriors."
+            if potential_combination == "mixture"
+            else "EnsemblePosterior: product of experts over member "
+            "potentials (sampled by MCMC)."
+        )
 
     @property
     def weights(self):
         return self._weights / self._weights.sum()
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state.pop("_poe_mcmc", None)  # holds jit caches; rebuilt lazily
+        return state
 
     def set_default_x(self, x):
         for p in self.posteriors:
@@ -93,7 +104,24 @@ class EnsemblePosterior(NeuralPosterior):
         return super().set_default_x(x)
 
     def sample(self, sample_shape=(), x: Optional[Array] = None, key=None, **kwargs) -> Array:
-        """Draw member index per sample, pass through (ref `:19`)."""
+        """mixture: draw member index per sample, pass through (ref `:19`).
+        product: MCMC on the combined potential — per-member pass-through
+        sampling would silently produce mixture samples."""
+        if getattr(self, "_combination", "mixture") == "product":
+            from .mcmc_posterior import MCMCPosterior
+
+            mcmc = getattr(self, "_poe_mcmc", None)
+            if mcmc is None:
+                prior = getattr(self.potential_fn, "prior", None)
+                mcmc = self._poe_mcmc = MCMCPosterior(
+                    self.potential_fn,
+                    proposal=prior,
+                    theta_transform=self.theta_transform,
+                )
+            x_used = self._x_else_default_x(x)
+            return mcmc.set_default_x(x_used).sample(
+                sample_shape, key=key, **kwargs
+            )
         key = next_key(key)
         num = 1
         for s in sample_shape:
@@ -128,11 +156,17 @@ class EnsemblePosterior(NeuralPosterior):
         return jnp.stack(outs, axis=len(sample_shape))
 
     def log_prob(self, theta, x=None, individually: bool = False, **kwargs):
+        """mixture: log of the weighted member mixture (normalized if the
+        members are). product: weighted MEAN of member log-probs — the
+        product-of-experts density is UNNORMALIZED (its normalizer is
+        intractable); useful for ranking/MCMC, not absolute densities."""
         theta = ensure_theta_batched(theta)
         lps = jnp.stack(
             [p.log_prob(theta, x=x, **kwargs) for p in self.posteriors]
         )  # (K, B)
         if individually:
             return lps
-        logw = jnp.log(self.weights)[:, None]
-        return jax.scipy.special.logsumexp(lps + logw, axis=0)
+        w = self.weights
+        if getattr(self, "_combination", "mixture") == "product":
+            return jnp.sum(w[:, None] * lps, axis=0)
+        return jax.scipy.special.logsumexp(lps + jnp.log(w)[:, None], axis=0)

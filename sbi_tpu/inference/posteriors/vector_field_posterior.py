@@ -115,13 +115,19 @@ class VectorFieldPosterior(NeuralPosterior):
         elif method == "ode":
             from ...samplers.ode.ode_solvers import build_neural_ode
 
-            def make_ode(e=est):
+            ode_steps = getattr(self.potential_fn, "ode_steps", 64)
+
+            def make_ode(e=est, n_steps=ode_steps):
                 def fn(params, x1, k, n):
-                    node = build_neural_ode(e, x1, params=params)
+                    node = build_neural_ode(
+                        e, x1, num_steps=n_steps, params=params
+                    )
                     return node.sample(k, n)
                 return fn
 
-            proposal = self._cached_proposal(("ode",), make_ode, est, x)
+            proposal = self._cached_proposal(
+                ("ode", ode_steps), make_ode, est, x
+            )
 
         else:
             raise NotImplementedError(f"sample_with='{method}' not supported.")
@@ -169,6 +175,7 @@ class VectorFieldPosterior(NeuralPosterior):
         corrector: Optional[str] = None,
         corrector_params: Optional[dict] = None,
         steps: int = 500,
+        ts: Optional[Array] = None,
         max_rejection_rounds: int = 20,
         **kwargs,
     ) -> Array:
@@ -188,7 +195,10 @@ class VectorFieldPosterior(NeuralPosterior):
             outs = [
                 self.sample(sample_shape, x=x[b][None],
                             key=jax.random.fold_in(key, b),
-                            sample_with=method, steps=steps, **kwargs)
+                            sample_with=method, predictor=predictor,
+                            corrector=corrector,
+                            corrector_params=corrector_params,
+                            steps=steps, ts=ts, **kwargs)
                 for b in range(B)
             ]
             return jnp.stack(outs, axis=len(sample_shape))
@@ -201,32 +211,49 @@ class VectorFieldPosterior(NeuralPosterior):
         S = num_samples
         per_round = max(min(num_samples, self.max_sampling_batch_size), 256)
         prior = self.prior
-        diffuser = Diffuser(
-            est, predictor=predictor, corrector=corrector,
-            corrector_params=corrector_params,
-        )
 
-        @jax.jit
-        def round_fn(params, xb, collected, counts, sub):
-            cand = diffuser.run(
-                per_round, xb, steps=steps, key=sub, params=params
-            )  # (R, B, D)
-            ok = within_support(prior, cand.reshape(-1, D)).reshape(
-                per_round, B
+        cfg = (
+            "sde_batched", predictor, corrector,
+            tuple(sorted((corrector_params or {}).items())), steps,
+            S, B, per_round,
+        )
+        cache = getattr(self, "_proposal_cache", None)
+        if cache is None:
+            cache = self._proposal_cache = {}
+        # A custom ts array is closed over — don't cache that rare path.
+        round_fn = cache.get(cfg) if ts is None else None
+        if round_fn is None:
+            diffuser = Diffuser(
+                est, predictor=predictor, corrector=corrector,
+                corrector_params=corrector_params,
             )
-            csum = jnp.cumsum(ok.astype(jnp.int32), axis=0)
-            slots = counts[None, :] + csum - 1
-            valid = ok & (slots < S)
-            col = jnp.broadcast_to(jnp.arange(B)[None, :], (per_round, B))
-            flat_idx = jnp.where(valid, slots * B + col, S * B)
-            collected = (
-                collected.reshape(S * B, D)
-                .at[flat_idx.reshape(-1)]
-                .set(cand.reshape(-1, D), mode="drop")
-                .reshape(S, B, D)
-            )
-            counts = jnp.minimum(counts + ok.sum(axis=0), S)
-            return collected, counts
+
+            def _round(params, xb, collected, counts, sub, ts=ts):
+                cand = diffuser.run(
+                    per_round, xb, steps=steps, ts=ts, key=sub, params=params
+                )  # (R, B, D)
+                ok = within_support(prior, cand.reshape(-1, D)).reshape(
+                    per_round, B
+                )
+                csum = jnp.cumsum(ok.astype(jnp.int32), axis=0)
+                slots = counts[None, :] + csum - 1
+                valid = ok & (slots < S)
+                col = jnp.broadcast_to(
+                    jnp.arange(B)[None, :], (per_round, B)
+                )
+                flat_idx = jnp.where(valid, slots * B + col, S * B)
+                collected = (
+                    collected.reshape(S * B, D)
+                    .at[flat_idx.reshape(-1)]
+                    .set(cand.reshape(-1, D), mode="drop")
+                    .reshape(S, B, D)
+                )
+                counts = jnp.minimum(counts + ok.sum(axis=0), S)
+                return collected, counts
+
+            round_fn = jax.jit(_round)
+            if ts is None:
+                cache[cfg] = round_fn
 
         collected = jnp.zeros((S, B, D))
         counts = jnp.zeros((B,), jnp.int32)
@@ -237,14 +264,22 @@ class VectorFieldPosterior(NeuralPosterior):
             )
             if int(counts.min()) >= S:
                 break
-        if int(counts.min()) < S:
+        worst = int(counts.min())
+        if worst == 0:
+            raise RuntimeError(
+                "sample_batched: no samples accepted for at least one "
+                "observation within the sampling budget — the diffusion "
+                "posterior puts (almost) all mass outside the prior support "
+                "for that x. Retrain or sample via MCMC for it."
+            )
+        if worst < S:
             import warnings
 
             warnings.warn(
                 "sample_batched: sampling budget exhausted before all "
                 f"observations collected {S} in-support samples (worst: "
-                f"{int(counts.min())}); starved rows are resampled from "
-                "the accepted draws."
+                f"{worst}); starved rows are resampled from the accepted "
+                "draws."
             )
             k_fill = jax.random.fold_in(key, 7)
             idx = jax.random.randint(

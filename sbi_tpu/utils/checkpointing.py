@@ -59,7 +59,16 @@ def restore_pytree(path: str, like: Optional[Any] = None) -> Any:
 def save_training_state(path: str, inference) -> str:
     """Checkpoint a trainer's resumable state: estimator params, optimizer
     state, and the round/epoch counters. Use with
-    ``train(resume_training=True)`` after :func:`restore_training_state`."""
+    ``train(resume_training=True)`` after :func:`restore_training_state`.
+
+    The checkpoint structure is constant — ``best_params`` is always
+    present (falling back to the current params) so restores never face a
+    tree-structure mismatch."""
+    if inference._neural_net is None:
+        raise RuntimeError(
+            "save_training_state: the trainer has no built estimator yet — "
+            "call train() (at least briefly) before checkpointing."
+        )
     state = {
         "params": inference._neural_net.params,
         "opt_state": inference._opt_state,
@@ -69,17 +78,30 @@ def save_training_state(path: str, inference) -> str:
             "best_val_loss": inference._best_val_loss,
             "epochs_since_improvement": inference._epochs_since_last_improvement,
         },
+        "best_params": (
+            inference._best_params
+            if inference._best_params is not None
+            else inference._neural_net.params
+        ),
     }
-    if inference._best_params is not None:
-        state["best_params"] = inference._best_params
     return save_pytree(path, state)
 
 
 def restore_training_state(path: str, inference) -> None:
     """Load a checkpoint written by :func:`save_training_state` into a
-    trainer whose net has already been built (same architecture)."""
+    trainer whose net has been built with the same architecture (e.g. by
+    a short ``train(max_num_epochs=1)`` on the same data shapes — the net
+    and optimizer state are shaped lazily from data)."""
+    if inference._neural_net is None or inference._opt_state is None:
+        raise RuntimeError(
+            "restore_training_state: the target trainer's estimator/"
+            "optimizer are not built yet. Build them with the same "
+            "architecture first (append the simulations and run "
+            "train(max_num_epochs=1)), then restore."
+        )
+    p_like = inference._neural_net.params
     like = {
-        "params": inference._neural_net.params,
+        "params": p_like,
         "opt_state": inference._opt_state,
         "counters": {
             "epoch": 0,
@@ -87,9 +109,8 @@ def restore_training_state(path: str, inference) -> None:
             "best_val_loss": 0.0,
             "epochs_since_improvement": 0,
         },
+        "best_params": p_like,
     }
-    if inference._best_params is not None:
-        like["best_params"] = inference._best_params
     state = restore_pytree(path, like)
     inference._neural_net.params = state["params"]
     inference._opt_state = state["opt_state"]
@@ -98,5 +119,4 @@ def restore_training_state(path: str, inference) -> None:
     inference._round = int(c["round"])
     inference._best_val_loss = float(c["best_val_loss"])
     inference._epochs_since_last_improvement = int(c["epochs_since_improvement"])
-    if "best_params" in state:
-        inference._best_params = state["best_params"]
+    inference._best_params = state["best_params"]

@@ -72,24 +72,38 @@ def timed(fn: Callable, *args, warmup: int = 1, iters: int = 3, **kwargs):
 
 
 @dataclass
+class _PhaseHandle:
+    """Set ``.value`` to the device output produced inside the phase; the
+    timer blocks on it before stopping the clock."""
+
+    value: Any = None
+
+
+@dataclass
 class Timer:
     """Accumulating phase timer for host-side orchestration code.
 
-    ``with timer.phase("simulate"): ...`` — each phase blocks on device
-    work before stopping the clock, so the numbers are attributable.
+    Assign the phase's device output to the yielded handle so the clock
+    stops only after the device work completes (JAX dispatch is async)::
+
+        with timer.phase("train") as ph:
+            ph.value = jitted_step(params, batch)
+
+    Without an assigned value the phase measures dispatch time only.
     """
 
     totals: Dict[str, float] = field(default_factory=dict)
     counts: Dict[str, int] = field(default_factory=dict)
 
     @contextlib.contextmanager
-    def phase(self, name: str, block_on: Any = None):
+    def phase(self, name: str):
         t0 = time.perf_counter()
+        handle = _PhaseHandle()
         try:
-            yield
+            yield handle
         finally:
-            if block_on is not None:
-                _block(block_on)
+            if handle.value is not None:
+                _block(handle.value)
             dt = time.perf_counter() - t0
             self.totals[name] = self.totals.get(name, 0.0) + dt
             self.counts[name] = self.counts.get(name, 0) + 1

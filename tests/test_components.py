@@ -214,11 +214,11 @@ def test_ensemble_product_of_experts(lg_data):
     x_o = jnp.zeros(D)
     ens = EnsemblePosterior(posteriors, potential_combination="product")
     ens.set_default_x(x_o)
-    # PoE sampling goes through MCMC on the combined potential.
-    poe_post = MCMCPosterior(
-        ens.potential_fn, proposal=prior, num_chains=40, warmup_steps=100
-    ).set_default_x(x_o)
-    samples = poe_post.sample((800,), key=jax.random.PRNGKey(9))
+    # PoE sampling routes through MCMC on the combined potential
+    # automatically (pass-through mixing would give mixture samples).
+    samples = ens.sample(
+        (800,), key=jax.random.PRNGKey(9), num_chains=40, warmup_steps=100
+    )
     score = float(c2st(samples, _analytic_samples(x_o)))
     assert score <= 0.6, score
     # product potential == mean of member potentials

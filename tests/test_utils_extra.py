@@ -167,8 +167,8 @@ def test_profiling_helpers(tmp_path):
     assert jnp.isfinite(out) and dt > 0
 
     timer = Timer()
-    with timer.phase("matmul", block_on=None):
-        f(a)
+    with timer.phase("matmul") as ph:
+        ph.value = f(a)  # timer blocks on device output before stopping
     assert timer.summary()["matmul"]["calls"] == 1
 
     logdir = str(tmp_path / "prof")
