@@ -39,11 +39,12 @@ from mini_sbibm.base_task import get_bench_task
 MCMC_KW = dict(num_chains=100, warmup_steps=100)
 
 
-def _eval(posterior, bench, i, n=2000, mcmc=False, mcmc_kw=None):
+def _eval(posterior, bench, i, n=2000, mcmc=False, mcmc_kw=None,
+          sample_kw=None):
     ref = bench.get_reference_posterior_samples(i)
     n = min(n, ref.shape[0])  # C2ST needs balanced classes
     ref = ref[:n]
-    kw = dict(mcmc_kw or MCMC_KW) if mcmc else {}
+    kw = dict(mcmc_kw or MCMC_KW) if mcmc else dict(sample_kw or {})
     samples = posterior.sample((n,), key=jr.PRNGKey(10 + i), **kw)
     return float(c2st(samples, ref)), samples
 
@@ -112,8 +113,10 @@ def run_amortized(task, method, num_simulations, obs_list=(0, 1, 2),
     for i in obs_list:
         x_o = bench.get_observation(i)
         posterior = inference.build_posterior().set_default_x(x_o)
-        s, _ = _eval(posterior, bench, i, mcmc=method in ("nle", "nre"),
-                     mcmc_kw=sample_kw)
+        is_mcmc = method in ("nle", "nre")
+        s, _ = _eval(posterior, bench, i, mcmc=is_mcmc,
+                     mcmc_kw=sample_kw if is_mcmc else None,
+                     sample_kw=None if is_mcmc else sample_kw)
         scores.append(s)
         print(f"  obs {i}: c2st={s:.4f}", flush=True)
     return scores
@@ -361,6 +364,12 @@ EXPERIMENTS = {
         "two_moons", "npse", 30000, batch_size=200,
         model="ada_mlp", sde_type="vp", hidden_features=256, num_layers=6,
     ), "npse", "two_moons", 30000),
+    # Sharper sampling for the thin crescents: 2x steps + Langevin corrector.
+    "npse_tm_corr": (lambda: run_amortized(
+        "two_moons", "npse", 30000, batch_size=200,
+        sample_kw=dict(steps=1000, corrector="langevin"),
+        model="ada_mlp", sde_type="vp", hidden_features=256, num_layers=6,
+    ), "npse-corr", "two_moons", 30000),
     "nre_tm_30k": (lambda: run_amortized(
         "two_moons", "nre", 30000, batch_size=200,
         sample_kw=dict(num_chains=200, warmup_steps=300, thin=3),
