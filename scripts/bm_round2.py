@@ -356,6 +356,8 @@ EXPERIMENTS = {
                           "nle-iid-ens5", "slcp", 30000),
     "snle_iid_ens5_slcp": (lambda: run_nle_iid_ens_slcp(
         40000, n_members=5, rounds=2), "snle-iid-ens5", "slcp", 40000),
+    "snle_iid_ens7_slcp": (lambda: run_nle_iid_ens_slcp(
+        40000, n_members=7, rounds=2), "snle-iid-ens7", "slcp", 40000),
     "fmpe_tm_30k": (lambda: run_amortized(
         "two_moons", "fmpe", 30000, batch_size=200,
         model="ada_mlp", hidden_features=256, num_layers=6,
