@@ -159,3 +159,31 @@ def test_sample_batched_vectorized():
         (50,), x=xs[:2], key=jax.random.PRNGKey(1), sample_with="ode"
     )
     assert s_ode.shape == (50, 2, 2) and bool(jnp.isfinite(s_ode).all())
+
+
+def test_sample_batched_raises_on_full_starvation():
+    """An observation whose diffusion posterior puts (almost) no mass in
+    the prior support must raise, not silently return zero vectors."""
+    from sbi_tpu.utils.distributions import BoxUniform
+
+    seed_all_backends(0)
+    D = 2
+    # Train briefly on data far outside the tiny support box below.
+    prior_train = MultivariateNormal(
+        10.0 * jnp.ones(D), covariance_matrix=jnp.eye(D)
+    )
+    theta = prior_train.sample(jax.random.PRNGKey(0), (400,))
+    x = theta + 0.1 * jax.random.normal(jax.random.PRNGKey(1), theta.shape)
+    inf = NPSE(prior=prior_train, sde_type="vp")
+    inf.append_simulations(theta, x).train(
+        training_batch_size=100, max_num_epochs=3
+    )
+    post = inf.build_posterior()
+    # Swap in a support box the posterior cannot reach.
+    post.prior = BoxUniform(-1e-3 * jnp.ones(D), 1e-3 * jnp.ones(D))
+    xs = jnp.stack([10.0 * jnp.ones(D), 11.0 * jnp.ones(D)])
+    with pytest.raises(RuntimeError, match="no samples accepted"):
+        post.sample_batched(
+            (50,), x=xs, key=jax.random.PRNGKey(2), steps=20,
+            max_rejection_rounds=2,
+        )
