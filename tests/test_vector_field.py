@@ -187,3 +187,19 @@ def test_sample_batched_raises_on_full_starvation():
             (50,), x=xs, key=jax.random.PRNGKey(2), steps=20,
             max_rejection_rounds=2,
         )
+
+
+def test_ode_sampling_honors_potential_ode_steps():
+    """sample_via_ode must integrate at the potential's configured
+    ode_steps; changing it compiles a distinct solver (cache keyed on it)."""
+    prior, theta, x, x_o, _ = _setup(num_simulations=400)
+    inf = NPSE(prior=prior, sde_type="vp")
+    inf.append_simulations(theta, x).train(
+        training_batch_size=100, max_num_epochs=3
+    )
+    post = inf.build_posterior()
+    post.sample_via_ode((50,), x=x_o, key=jax.random.PRNGKey(0))
+    post.potential_fn.ode_steps = 16
+    post.sample_via_ode((50,), x=x_o, key=jax.random.PRNGKey(1))
+    ode_cfgs = [k for k in post._proposal_cache if k[0] == "ode"]
+    assert sorted(k[1] for k in ode_cfgs) == [16, 64], ode_cfgs
