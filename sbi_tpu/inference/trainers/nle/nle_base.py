@@ -114,6 +114,14 @@ class LikelihoodEstimatorTrainer(NeuralInference):
 
         return self._run_training_loop(loss_fn, cfg, start_idx=start_idx, key=key)
 
+    def _ensemble_loss_fn(self):
+        est = self._neural_net
+
+        def loss_fn(params, k, theta_b, x_b, masks_b):
+            return -est.log_prob_fn(params, x_b[None], theta_b)[0]
+
+        return loss_fn
+
     def build_posterior(
         self,
         density_estimator=None,

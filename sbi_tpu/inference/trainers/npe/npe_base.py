@@ -169,6 +169,16 @@ class PosteriorEstimatorTrainer(NeuralInference):
             return loss_fn
         return self._make_proposal_loss_fn(proposal, calibration_kernel)
 
+    def _ensemble_loss_fn(self) -> Callable:
+        """First-round NPE loss for vmapped ensembles (sequential-round
+        proposal corrections stay per-member via ``train``)."""
+        est = self._neural_net
+
+        def loss_fn(params, key, theta_b, x_b, masks_b):
+            return -est.log_prob_fn(params, theta_b[None], x_b)[0]
+
+        return loss_fn
+
     @abstractmethod
     def _make_proposal_loss_fn(self, proposal, calibration_kernel) -> Callable:
         """Sequential-round (proposal-corrected) loss — subclass specific."""

@@ -107,6 +107,14 @@ class VectorFieldTrainer(NeuralInference):
 
         return self._run_training_loop(loss_fn, cfg, start_idx=0, key=key)
 
+    def _ensemble_loss_fn(self):
+        est = self._neural_net
+
+        def loss_fn(params, k, theta_b, x_b, masks_b):
+            return est.loss_fn(params, theta_b, x_b, k)
+
+        return loss_fn
+
     def _converged(self, val_loss, params, stop_after_epochs, n_epochs=1):
         # The reference uses a statistical 2-sigma convergence check
         # (`:339-407`); combined best-val tracking works equivalently with

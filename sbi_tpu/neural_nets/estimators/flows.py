@@ -336,6 +336,12 @@ class MaskedAffineAutoregressive(nn.Module):
     hidden_features: int = 50
     num_blocks: int = 2
     context_features: Optional[int] = None
+    # Default bounds follow nflows' stability clamp. Conditionals whose scale
+    # spans many orders of magnitude (e.g. SLCP's sigma = theta^2, down to
+    # 1e-5 in z-space) need a much wider lower bound — the affine layer is
+    # then the component that absorbs the dynamic range so downstream
+    # splines only see O(1) residuals.
+    log_scale_bounds: Tuple[float, float] = (-5.0, 3.0)
 
     def setup(self):
         self.made = MADENet(
@@ -349,7 +355,7 @@ class MaskedAffineAutoregressive(nn.Module):
     def _params(self, x, context):
         out = self.made(x, context)
         mu = out[..., 0]
-        log_scale = jnp.clip(out[..., 1], -5.0, 3.0)
+        log_scale = jnp.clip(out[..., 1], *self.log_scale_bounds)
         return mu, log_scale
 
     def forward(self, x, context=None):

@@ -152,6 +152,7 @@ class MDNModule(nn.Module):
     hidden_features: int = 50
     num_layers: int = 2
     embedding_net: Optional[nn.Module] = None
+    scale_parameterization: str = "softplus"
 
     @nn.compact
     def __call__(self, condition: Array) -> Tuple[Array, Array, Array]:
@@ -164,9 +165,20 @@ class MDNModule(nn.Module):
         K, D = self.num_components, self.theta_dim
         logits = nn.Dense(K)(h)
         means = nn.Dense(K * D)(h).reshape(-1, K, D)
-        # Cholesky of precision: positive diagonal via softplus + eps.
+        # Cholesky of precision: positive diagonal. Two parameterizations:
+        #   "softplus": softplus(raw) + 1e-4 — the reference's
+        #     (`mdn.py` via pyknos); linear in raw for large precisions, so
+        #     representing precision 1e6 needs raw ~1e6 — unreachable for
+        #     conditionals whose scale spans many orders of magnitude.
+        #   "log": exp(clip(raw)) — log-precision is LINEAR in the network
+        #     output, so e.g. SLCP's sigma = theta^2 (precision 1e-2..1e8)
+        #     is a smooth ~4-unit swing in raw. Clip bounds keep the NLL
+        #     finite for outlier inits.
         diag_raw = nn.Dense(K * D, bias_init=nn.initializers.zeros)(h).reshape(-1, K, D)
-        diag = jax.nn.softplus(diag_raw) + 1e-4
+        if self.scale_parameterization == "log":
+            diag = jnp.exp(jnp.clip(diag_raw, -10.0, 14.0))
+        else:
+            diag = jax.nn.softplus(diag_raw) + 1e-4
         n_off = D * (D - 1) // 2
         B = h.shape[0]
         if n_off > 0:

@@ -84,11 +84,12 @@ def build_maf(
 ):
     """MAF: [affine autoregressive + reverse permutation] x num_transforms."""
     dim = jnp.asarray(batch_theta).shape[-1]
+    maf_kw = dict(hidden_features=hidden_features, num_blocks=num_blocks)
+    if "affine_log_scale_bounds" in kwargs:
+        maf_kw["log_scale_bounds"] = tuple(kwargs["affine_log_scale_bounds"])
     configs = []
     for _ in range(num_transforms):
-        configs.append(
-            ("maf", dict(hidden_features=hidden_features, num_blocks=num_blocks))
-        )
+        configs.append(("maf", dict(maf_kw)))
         if dim > 1:
             configs.append(("permutation", dict(perm=tuple(range(dim - 1, -1, -1)))))
     return _build_flow_estimator(
@@ -143,6 +144,8 @@ def build_nsf(
     num_bins: int = 10,
     tail_bound: float = 3.0,
     embedding_net=None,
+    interleave_affine: bool = False,
+    affine_log_scale_bounds=(-14.0, 5.0),
     key=None,
     **kwargs,
 ):
@@ -150,11 +153,29 @@ def build_nsf(
     (ref `net_builders/flow.py:330-456`). For 1-D theta the reference falls
     back to an autoregressive spline; we extend that fallback to 2-D, where
     a coupling can only transform one coordinate per layer (measured: 0.56
-    vs 0.64 C2ST on two_moons at 2k sims)."""
+    vs 0.64 C2ST on two_moons at 2k sims).
+
+    ``interleave_affine=True`` inserts a wide-log-scale-bound affine
+    autoregressive layer before each spline. Bounded-range splines cannot
+    resolve conditionals whose width spans many orders of magnitude (min
+    bin width 1e-3 of the tail interval); the affine layer absorbs the
+    conditional location/scale so the spline only models the O(1) residual
+    shape. No reference counterpart — TPU-era fix for scale-heteroscedastic
+    likelihoods like SLCP (sigma = theta^2)."""
     dim = int(jnp.asarray(batch_theta).shape[-1])
+    affine_cfg = (
+        "maf",
+        dict(
+            hidden_features=hidden_features,
+            num_blocks=num_blocks,
+            log_scale_bounds=tuple(affine_log_scale_bounds),
+        ),
+    )
     configs = []
     if dim <= 2:
         for _ in range(num_transforms):
+            if interleave_affine:
+                configs.append(affine_cfg)
             configs.append(
                 (
                     "rqs_ar",
@@ -173,6 +194,8 @@ def build_nsf(
     else:
         for i in range(num_transforms):
             mask = _alternating_mask(dim, even=(i % 2 == 0))
+            if interleave_affine:
+                configs.append(affine_cfg)
             configs.append(
                 (
                     "rqs_coupling",

@@ -20,6 +20,7 @@ def build_mdn(
     num_components: int = 10,
     num_layers: int = 2,
     embedding_net=None,
+    scale_parameterization: str = "softplus",
     key=None,
     **kwargs,
 ) -> MixtureDensityEstimator:
@@ -46,6 +47,7 @@ def build_mdn(
         hidden_features=hidden_features,
         num_layers=num_layers,
         embedding_net=embedding_net,
+        scale_parameterization=scale_parameterization,
     )
     key = next_key(key)
     params = module.init(key, batch_x[:2].reshape(2, -1) if batch_x.ndim == 2 else batch_x[:2])

@@ -1,0 +1,245 @@
+"""Round-3 benchmark runner: vmapped many-member PoE ensembles for SLCP
+plus method-specific retunes (npse, npe/gaussian_linear).
+
+The SLCP attack (VERDICT.md round-2 item 1): member fit error is the
+bottleneck (the FSM sampler on the exact likelihood reaches C2ST 0.49);
+PoE averaging of K independently trained likelihood members cancels
+independent model error ~1/sqrt(K). train_ensemble vmaps all K members
+into ONE XLA program, so K=16 costs roughly what one member used to.
+
+Usage: python scripts/bm_round3.py EXPERIMENT [out_csv]
+"""
+
+import csv
+import os
+import sys
+import time
+
+EPOCH_CHUNK = int(os.environ.get("BM_EPOCH_CHUNK", "10"))
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+import jax
+
+if os.environ.get("BM_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+
+from sbi_tpu.utils.metrics import c2st
+from sbi_tpu.utils.sbiutils import seed_all_backends
+from mini_sbibm.base_task import get_bench_task
+
+
+def _eval_poe(est, stacked_params, prior, bench, i, n=2000,
+              mcmc_kw=None):
+    """C2ST of the vmapped PoE posterior (mean of member log-liks)."""
+    from sbi_tpu.inference import MCMCPosterior
+    from sbi_tpu.inference.potentials.base_potential import (
+        CustomPotentialWrapper,
+    )
+    from sbi_tpu.inference.potentials.likelihood_based_potential import (
+        _log_likelihoods_over_trials,
+    )
+
+    x_o = bench.get_observation(i).reshape(4, 2)
+
+    def potential(theta):
+        lls = jax.vmap(
+            lambda p: _log_likelihoods_over_trials(x_o, theta, est, params=p)
+        )(stacked_params)  # (K, B)
+        return lls.mean(axis=0) + prior.log_prob(theta)
+
+    kw = dict(num_chains=200, warmup_steps=500, thin=5,
+              init_strategy="proposal")
+    kw.update(mcmc_kw or {})
+    post = MCMCPosterior(
+        CustomPotentialWrapper(potential, prior=prior),
+        proposal=prior, **kw,
+    ).set_default_x(x_o)
+    ref = bench.get_reference_posterior_samples(i)
+    n = min(n, ref.shape[0])
+    samples = post.sample((n,), key=jr.PRNGKey(10 + i))
+    return float(c2st(samples, ref[:n])), post
+
+
+def _poe_sample(est, stacked_params, prior, x_o, n, key, mcmc_kw=None):
+    from sbi_tpu.inference import MCMCPosterior
+    from sbi_tpu.inference.potentials.base_potential import (
+        CustomPotentialWrapper,
+    )
+    from sbi_tpu.inference.potentials.likelihood_based_potential import (
+        _log_likelihoods_over_trials,
+    )
+
+    def potential(theta):
+        lls = jax.vmap(
+            lambda p: _log_likelihoods_over_trials(x_o, theta, est, params=p)
+        )(stacked_params)
+        return lls.mean(axis=0) + prior.log_prob(theta)
+
+    kw = dict(num_chains=200, warmup_steps=300, thin=3,
+              init_strategy="proposal")
+    kw.update(mcmc_kw or {})
+    post = MCMCPosterior(
+        CustomPotentialWrapper(potential, prior=prior),
+        proposal=prior, **kw,
+    ).set_default_x(x_o)
+    return post.sample((n,), key=key)
+
+
+def run_poe_vmapped_slcp(per_member, n_members=16, rounds=1,
+                         obs_list=(0, 1, 2), patience=150, batch_size=500,
+                         ckpt_dir="/tmp/poe_slcp_ckpt", **est_kw):
+    """K-member PoE with disjoint per-member simulation blocks, trained as
+    one vmapped program. rounds>1 draws later-round data from the current
+    PoE posterior pooled over the benchmark observations (round-2 winner's
+    schedule, scripts/bm_round2.py::run_nle_iid_ens_slcp)."""
+    from sbi_tpu.inference import NLE_A
+    from sbi_tpu.neural_nets.factory import likelihood_nn
+    from sbi_tpu.utils.checkpointing import save_pytree
+
+    bench = get_bench_task("slcp")
+    prior = bench.prior
+    K = n_members
+    per_round = per_member // rounds
+
+    seed_all_backends(0)
+    est_builder = likelihood_nn("nsf", **est_kw) if est_kw else likelihood_nn("nsf")
+    inf = NLE_A(prior=prior, density_estimator=est_builder)
+
+    # Round 1: K disjoint fresh blocks.
+    theta = prior.sample(jr.PRNGKey(500), (K * per_round,))
+    x = bench.simulator(theta, key=jr.PRNGKey(600))
+    inf.append_simulations(jnp.repeat(theta, 4, axis=0), x.reshape(-1, 2))
+    n_pairs = 4 * K * per_round
+    member_rows = [
+        np.arange(m * 4 * per_round, (m + 1) * 4 * per_round) for m in range(K)
+    ]
+
+    t0 = time.time()
+    inf.train_ensemble(
+        num_members=K, training_batch_size=batch_size,
+        stop_after_epochs=patience, epoch_chunk=EPOCH_CHUNK,
+        member_train_indices=member_rows, max_num_epochs=3000,
+    )
+    print(f"  round 0: K={K} trained in {time.time()-t0:.0f}s "
+          f"({inf.summary['epochs_trained'][-1]} epochs)", flush=True)
+    est = inf._ensemble_estimators[0]
+    stacked = inf._ensemble_stacked_params
+    save_pytree(f"{ckpt_dir}/round0", stacked)
+
+    for r in range(1, rounds):
+        # Pooled PoE-posterior proposal over the scored observations.
+        t0 = time.time()
+        parts = []
+        n_per_obs = per_round // len(obs_list)
+        for i in obs_list:
+            x_o = bench.get_observation(i).reshape(4, 2)
+            parts.append(_poe_sample(
+                est, stacked, prior, x_o, K * n_per_obs,
+                key=jr.PRNGKey(7000 + 100 * r + i),
+            ))
+        theta_r = jnp.concatenate(parts)
+        theta_r = jax.random.permutation(jr.PRNGKey(31 * r), theta_r)
+        x_r = bench.simulator(theta_r, key=jr.PRNGKey(800 + r))
+        base = sum(t.shape[0] for t in inf._theta_roundwise)  # stored rows are pairs
+        inf.append_simulations(jnp.repeat(theta_r, 4, axis=0),
+                               x_r.reshape(-1, 2), proposal=object())
+        n_r = theta_r.shape[0] // K
+        member_rows = [
+            np.concatenate([
+                member_rows[m],
+                base + np.arange(m * 4 * n_r, (m + 1) * 4 * n_r),
+            ])
+            for m in range(K)
+        ]
+        print(f"  round {r}: proposal draws in {time.time()-t0:.0f}s", flush=True)
+        t0 = time.time()
+        inf.train_ensemble(
+            num_members=K, training_batch_size=batch_size,
+            stop_after_epochs=patience, epoch_chunk=EPOCH_CHUNK,
+            member_train_indices=member_rows, max_num_epochs=3000,
+        )
+        print(f"  round {r}: retrained in {time.time()-t0:.0f}s "
+              f"({inf.summary['epochs_trained'][-1]} epochs)", flush=True)
+        est = inf._ensemble_estimators[0]
+        stacked = inf._ensemble_stacked_params
+        save_pytree(f"{ckpt_dir}/round{r}", stacked)
+
+    scores = []
+    for i in obs_list:
+        t0 = time.time()
+        s, _ = _eval_poe(est, stacked, prior, bench, i)
+        scores.append(s)
+        print(f"  obs {i}: c2st={s:.4f} ({time.time()-t0:.0f}s)", flush=True)
+    return scores
+
+
+def run_npe_gl_tuned(num_simulations=10000):
+    """npe/gaussian_linear 0.557 -> target <=0.55 (VERDICT item 6)."""
+    from sbi_tpu.inference import NPE
+    from sbi_tpu.neural_nets.factory import posterior_nn
+
+    bench = get_bench_task("gaussian_linear")
+    prior = bench.prior
+    seed_all_backends(0)
+    theta = prior.sample(jr.PRNGKey(0), (num_simulations,))
+    x = bench.simulator(theta, key=jr.PRNGKey(1))
+    est = posterior_nn("nsf", hidden_features=100, num_transforms=8)
+    inference = NPE(prior=prior, density_estimator=est)
+    inference.append_simulations(theta, x)
+    inference.train(training_batch_size=200, epoch_chunk=EPOCH_CHUNK,
+                    stop_after_epochs=200)
+    scores = []
+    for i in (0, 1, 2):
+        x_o = bench.get_observation(i)
+        posterior = inference.build_posterior().set_default_x(x_o)
+        ref = bench.get_reference_posterior_samples(i)
+        n = min(2000, ref.shape[0])
+        samples = posterior.sample((n,), key=jr.PRNGKey(10 + i))
+        s = float(c2st(samples, ref[:n]))
+        scores.append(s)
+        print(f"  obs {i}: c2st={s:.4f}", flush=True)
+    return scores
+
+
+EXPERIMENTS = {
+    "poe16_slcp": (lambda: run_poe_vmapped_slcp(20000, n_members=16),
+                   "nle-iid-poe16", "slcp", 20000),
+    "poe16_slcp_r2": (lambda: run_poe_vmapped_slcp(40000, n_members=16,
+                                                   rounds=2),
+                      "snle-iid-poe16", "slcp", 40000),
+    "poe32_slcp_r2": (lambda: run_poe_vmapped_slcp(40000, n_members=32,
+                                                   rounds=2),
+                      "snle-iid-poe32", "slcp", 40000),
+    "npe_gl_tuned": (run_npe_gl_tuned, "npe", "gaussian_linear", 10000),
+}
+
+
+def main():
+    name = sys.argv[1]
+    out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/bm_results_round3.csv"
+    fn, label, task, sims = EXPERIMENTS[name]
+    print(f"=== {name}: {label} x {task} @ {sims} sims", flush=True)
+    t0 = time.time()
+    scores = fn()
+    mean = sum(scores) / len(scores)
+    print(f"=== {name}: mean {mean:.4f} ({time.time()-t0:.0f}s)", flush=True)
+    write_header = not os.path.exists(out)
+    with open(out, "a", newline="") as f:
+        w = csv.writer(f)
+        if write_header:
+            w.writerow(["method", "task", "num_simulations", "c2st_mean",
+                        "c2st_obs0", "c2st_obs1", "c2st_obs2"])
+        w.writerow([label, task, sims, round(mean, 4)] +
+                   [round(s, 4) for s in scores])
+
+
+if __name__ == "__main__":
+    main()
