@@ -189,10 +189,14 @@ class NeuralInference(ABC):
         cfg: TrainConfig,
         start_idx: int = 0,
         key=None,
+        val_loss_fn: Optional[Callable] = None,
     ):
         """Early-stopped Adam loop; one XLA program per epoch.
 
         ``loss_fn(params, key, theta_b, x_b, masks_b) -> (B,) losses``.
+        ``val_loss_fn`` (default: ``loss_fn``) lets a trainer use a
+        variance-reduced validation objective (e.g. the VF trainers' fixed
+        validation times, ref `base_vf_inference.py:203-204,576-623`).
         """
         key = next_key(key)
         theta, x, masks, train_idx, val_idx = self.get_dataloaders(
@@ -241,7 +245,7 @@ class NeuralInference(ABC):
                 return (p2, s2), loss
 
             (p, s), losses = jax.lax.scan(body, (p, s), (idx, keys))
-            val = loss_fn(
+            val = (val_loss_fn or loss_fn)(
                 p,
                 jax.random.fold_in(epoch_key, 2),
                 theta[val_idx_j],
@@ -276,6 +280,9 @@ class NeuralInference(ABC):
             dt = (time.time() - t0) / n_this
             train_losses = np.asarray(train_losses)
             val_losses = np.asarray(val_losses)
+            train_losses, val_losses = self._postprocess_epoch_losses(
+                train_losses, val_losses
+            )
             # Loss-level finite guard (ref assert_all_finite inside losses,
             # `npe_c.py:399-419`, `utils/torchutils.py:639`). Losses live in
             # a fused on-device scan, so the check runs where they first
@@ -310,9 +317,8 @@ class NeuralInference(ABC):
             # training keeps the reference's stop_after_epochs semantics to
             # within one chunk. (Measured on two_moons/NSF@2k: chunked
             # best-val snapshots cost no C2ST vs chunk=1 at equal patience.)
-            best_in_chunk = float(val_losses[:n_this].min())
-            if self._converged(
-                best_in_chunk, params, cfg.stop_after_epochs, n_epochs=n_this
+            if self._converged_chunk(
+                val_losses[:n_this], params, cfg.stop_after_epochs
             ):
                 stop = True
             if self._epoch - epoch_start >= cfg.max_num_epochs:
@@ -561,6 +567,20 @@ class NeuralInference(ABC):
             chain.append(optax.clip_by_global_norm(cfg.clip_max_norm))
         chain.append(optax.adam(cfg.learning_rate))
         return optax.chain(*chain)
+
+    def _postprocess_epoch_losses(self, train_losses, val_losses):
+        """Hook applied on host to each chunk's per-epoch loss arrays before
+        recording/convergence (identity by default; VF trainers EMA here)."""
+        return train_losses, val_losses
+
+    def _converged_chunk(
+        self, val_losses, params, stop_after_epochs: int
+    ) -> bool:
+        """Convergence decision for one chunk of per-epoch val losses."""
+        best_in_chunk = float(val_losses.min())
+        return self._converged(
+            best_in_chunk, params, stop_after_epochs, n_epochs=len(val_losses)
+        )
 
     def _converged(
         self, val_loss: float, params, stop_after_epochs: int, n_epochs: int = 1

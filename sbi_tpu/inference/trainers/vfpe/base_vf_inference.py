@@ -73,12 +73,26 @@ class VectorFieldTrainer(NeuralInference):
         stop_after_epochs: int = 20,
         max_num_epochs: int = 2**31 - 1,
         clip_max_norm: Optional[float] = 5.0,
+        ema_loss_decay: float = 0.1,
+        validation_times: int = 10,
+        validation_times_nugget: float = 0.05,
         resume_training: bool = False,
         retrain_from_scratch: bool = False,
         show_train_summary: bool = False,
         key=None,
         **kwargs,
     ):
+        """DSM/FM losses are inherently noisy, so convergence detection uses
+        three variance-reduction devices from the reference
+        (`base_vf_inference.py:202-239,339-407,576-623`):
+          - the VALIDATION loss is evaluated on a fixed grid of
+            ``validation_times`` diffusion times (nugget-inset from {0,1})
+            with a fixed noise key, so epochs are comparable;
+          - recorded train/val losses are exponential moving averages with
+            decay ``ema_loss_decay``;
+          - the statistical convergence test in :meth:`_converged_chunk`
+            (patience counts epochs > 2 sigma above the best EMA loss).
+        """
         cfg = TrainConfig(
             training_batch_size=training_batch_size,
             learning_rate=learning_rate,
@@ -97,15 +111,30 @@ class VectorFieldTrainer(NeuralInference):
             self._neural_net = self._build_neural_net(theta, x)
         est = self._neural_net
 
-        # Fixed validation-times trick (ref `:576-623`): the val loss uses a
-        # deterministic key so epochs are comparable (variance reduction for
-        # early stopping).
-        val_key = jax.random.PRNGKey(0)
+        self._ema_loss_decay = float(ema_loss_decay)
+        val_times = jnp.linspace(
+            validation_times_nugget, 1.0 - validation_times_nugget,
+            int(validation_times),
+        )
+        fixed_noise_key = jax.random.PRNGKey(0)
 
         def loss_fn(params, k, theta_b, x_b, masks_b):
             return est.loss_fn(params, theta_b, x_b, k)
 
-        return self._run_training_loop(loss_fn, cfg, start_idx=0, key=key)
+        def val_loss_fn(params, k, theta_b, x_b, masks_b):
+            B = theta_b.shape[0]
+
+            def at_t(t):
+                return est.loss_fn(
+                    params, theta_b, x_b, fixed_noise_key,
+                    times=jnp.full((B,), t),
+                )
+
+            return jax.vmap(at_t)(val_times).mean(axis=0)
+
+        return self._run_training_loop(
+            loss_fn, cfg, start_idx=0, key=key, val_loss_fn=val_loss_fn
+        )
 
     def _ensemble_loss_fn(self):
         est = self._neural_net
@@ -115,11 +144,61 @@ class VectorFieldTrainer(NeuralInference):
 
         return loss_fn
 
-    def _converged(self, val_loss, params, stop_after_epochs, n_epochs=1):
-        # The reference uses a statistical 2-sigma convergence check
-        # (`:339-407`); combined best-val tracking works equivalently with
-        # fixed validation keys. Keep base behavior.
-        return super()._converged(val_loss, params, stop_after_epochs, n_epochs)
+    def _postprocess_epoch_losses(self, train_losses, val_losses):
+        """EMA summarization (ref `base_vf_inference.py:597-623`): the
+        recorded loss curves are exponential moving averages, chained across
+        epoch chunks through the last recorded summary entry."""
+        import numpy as np
+
+        decay = getattr(self, "_ema_loss_decay", 0.1)
+
+        def ema(arr, prev):
+            out = np.empty_like(arr)
+            for i, v in enumerate(arr):
+                prev = v if prev is None else (1.0 - decay) * prev + decay * v
+                out[i] = prev
+            return out
+
+        prev_t = (
+            self._summary["training_loss"][-1]
+            if self._summary["training_loss"] else None
+        )
+        prev_v = (
+            self._summary["validation_loss"][-1]
+            if self._summary["validation_loss"] else None
+        )
+        return ema(train_losses, prev_t), ema(val_losses, prev_v)
+
+    def _converged_chunk(self, val_losses, params, stop_after_epochs):
+        """Statistical convergence on EMA'd val losses (ref `:339-407`):
+        patience counts epochs whose loss sits more than 2 running standard
+        deviations above the best; epochs within 2 sigma reset it. Best
+        params snapshots stay at chunk granularity (see base loop note)."""
+        import numpy as np
+
+        stop = False
+        for v in np.asarray(val_losses, dtype=float):
+            if v < self._best_val_loss:
+                self._best_val_loss = float(v)
+                self._epochs_since_last_improvement = 0
+                self._best_params = params
+                continue
+            history = self._summary["validation_loss"]
+            if len(history) < stop_after_epochs:
+                continue
+            recent = np.asarray(history[-stop_after_epochs * 2:], dtype=float)
+            loss_std = float(recent.std())
+            diff_normalized = (
+                (v - self._best_val_loss) / loss_std
+                if loss_std > 0 else np.inf
+            )
+            if diff_normalized > 2.0:
+                self._epochs_since_last_improvement += 1
+            else:
+                self._epochs_since_last_improvement = 0
+            if self._epochs_since_last_improvement > stop_after_epochs - 1:
+                stop = True
+        return stop
 
     def build_posterior(
         self,
