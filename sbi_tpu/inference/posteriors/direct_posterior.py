@@ -108,7 +108,8 @@ class DirectPosterior(NeuralPosterior):
         x: Array,
         key=None,
         max_sampling_batch_size: Optional[int] = None,
-        max_rejection_rounds: int = 1000,
+        max_total_proposals: int = 200_000,
+        starvation_policy: str = "mcmc",
         **kwargs,
     ) -> Array:
         """Vectorized over a batch of observations: (sample..., B, D).
@@ -116,7 +117,21 @@ class DirectPosterior(NeuralPosterior):
         All observations share one rejection loop; each round is ONE batched
         flow inversion over all B conditions plus a fully-vectorized
         scatter-fill (per-column cumsum -> flat scatter with OOB drop) —
-        no per-observation python loop (ref `:211-299`)."""
+        no per-observation python loop (ref `:211-299`). The per-round
+        proposal count escalates geometrically up to
+        ``max_sampling_batch_size`` so low-acceptance observations don't pay
+        the round-trip overhead of many tiny rounds.
+
+        Observations still starved after ``max_total_proposals`` proposals
+        are NOT silently filled with duplicates (statistically wrong for
+        SBC/TARP). ``starvation_policy``:
+          - ``"mcmc"`` (default): sample the starved observations' truncated
+            posteriors exactly with one vectorized MCMC run (the reference
+            points users at this fallback, `rejection.py:286-340` +
+            `alternative_method`; here it is automatic).
+          - ``"raise"``: RuntimeError naming the starved acceptance rate.
+        """
+        assert starvation_policy in ("mcmc", "raise"), starvation_policy
         key = next_key(key)
         x = jnp.atleast_2d(jnp.asarray(x, jnp.float32))
         B = x.shape[0]
@@ -126,19 +141,24 @@ class DirectPosterior(NeuralPosterior):
         S = num_samples
         est = self.posterior_estimator
         D = est.input_shape[0]
-        per_round = max(num_samples, 256)
+        max_batch = max_sampling_batch_size or self.max_sampling_batch_size
+        per_round = min(max(num_samples, 256), max_batch)
         prior = self.prior
 
-        jit_maybe = jax.jit if getattr(est, "jittable", True) else (lambda f: f)
+        jit_maybe = (
+            (lambda f: jax.jit(f, static_argnums=(3,)))
+            if getattr(est, "jittable", True)
+            else (lambda f: f)
+        )
 
         @jit_maybe
-        def round_fn(collected, counts, sub):
-            cand = est.sample_fn(est.params, sub, (per_round,), x)  # (R, B, D)
-            ok = within_support(prior, cand.reshape(-1, D)).reshape(per_round, B)
+        def round_fn(collected, counts, sub, R):
+            cand = est.sample_fn(est.params, sub, (R,), x)  # (R, B, D)
+            ok = within_support(prior, cand.reshape(-1, D)).reshape(R, B)
             csum = jnp.cumsum(ok.astype(jnp.int32), axis=0)
             slots = counts[None, :] + csum - 1  # (R, B) target rows
             valid = ok & (slots < S)
-            col = jnp.broadcast_to(jnp.arange(B)[None, :], (per_round, B))
+            col = jnp.broadcast_to(jnp.arange(B)[None, :], (R, B))
             flat_idx = jnp.where(valid, slots * B + col, S * B)  # OOB -> drop
             collected = (
                 collected.reshape(S * B, D)
@@ -151,40 +171,51 @@ class DirectPosterior(NeuralPosterior):
 
         collected = jnp.zeros((S, B, D))
         counts = jnp.zeros((B,), jnp.int32)
-        for _ in range(max_rejection_rounds):
+        proposals = 0
+        while proposals < max_total_proposals:
             key, sub = jax.random.split(key)
-            collected, counts = round_fn(collected, counts, sub)
+            collected, counts = round_fn(collected, counts, sub, per_round)
+            proposals += per_round
             if int(counts.min()) >= S:
                 break
-        worst = int(counts.min())
-        if worst == 0:
-            raise RuntimeError(
-                f"sample_batched: no samples accepted for at least one "
-                "observation after the sampling budget was exhausted — the "
-                "posterior leaks (almost) all mass outside the prior support "
-                "for that x. Retrain or use sample_with='mcmc'."
-            )
+            per_round = min(per_round * 4, max_batch)
+
+        counts_np = jnp.asarray(counts)
+        worst = int(counts_np.min())
         if worst < S:
-            # The reference's accept_reject_sample warns on low acceptance
-            # and keeps looping (rejection.py:286-340, unbounded by
-            # default); with a fixed budget we warn and fill the starved
-            # rows by resampling each observation's accepted draws with
-            # replacement, which preserves the (leaky-)posterior
-            # distribution, unlike zero padding.
-            warnings.warn(
-                f"sample_batched: only {worst}/{S} unique samples accepted "
-                "for the worst observation within the sampling budget "
-                "(acceptance < "
-                f"{worst / (max_rejection_rounds * per_round):.2e}). Starved rows were "
-                "filled by resampling accepted draws with replacement; "
-                "consider sample_with='mcmc' for these observations."
+            starved = [b for b in range(B) if int(counts_np[b]) < S]
+            acceptance = worst / proposals
+            if starvation_policy == "raise":
+                raise RuntimeError(
+                    f"sample_batched: {len(starved)}/{B} observations starved "
+                    f"after {proposals} proposals (worst acceptance "
+                    f"{acceptance:.2e}) — the posterior leaks (almost) all "
+                    "mass outside the prior support for these x. Retrain, or "
+                    "use starvation_policy='mcmc' / sample_with='mcmc'."
+                )
+            collected = self._mcmc_fill_starved(
+                collected, x, starved, S, key=jax.random.fold_in(key, 7),
+                **kwargs,
             )
-            key, sub = jax.random.split(key)
-            fill_idx = jax.random.randint(sub, (S, B), 0, jnp.maximum(counts, 1))
-            row_ids = jnp.broadcast_to(jnp.arange(S)[:, None], (S, B))
-            idx = jnp.where(row_ids < counts[None, :], row_ids, fill_idx)
-            collected = jnp.take_along_axis(collected, idx[:, :, None], axis=0)
         return collected.reshape(tuple(sample_shape) + (B, D))
+
+    def _mcmc_fill_starved(self, collected, x, starved, S, key, **kwargs):
+        """Replace starved observations' columns with exact samples of the
+        truncated posterior from ONE vectorized MCMC run (the potential's
+        `batched_over_x` path keeps all chains in a single sampler
+        invocation)."""
+        from .mcmc_posterior import MCMCPosterior
+
+        mcmc = MCMCPosterior(
+            self.potential_fn,
+            proposal=self.prior,
+            theta_transform=self.theta_transform,
+            num_chains=min(100, max(20, S // 10)),
+            warmup_steps=200,
+        )
+        sub_x = x[jnp.asarray(starved)]
+        fills = mcmc.sample_batched((S,), x=sub_x, key=key)  # (S, B', D)
+        return collected.at[:, jnp.asarray(starved), :].set(fills)
 
     # ---------------------------------------------------------------- log_prob
     def log_prob(

@@ -56,6 +56,25 @@ class EnsemblePotential(BasePotential):
             return jnp.sum(w[:, None] * lps, axis=0)
         return jax.scipy.special.logsumexp(lps + jnp.log(w)[:, None], axis=0)
 
+    def batched_over_x(self, xs: Array, reps: int):
+        """Pure potential over B*reps chains, chain i scored against
+        observation i // reps — the combined-member analogue of the member
+        potentials' own `batched_over_x`, so MCMCPosterior.sample_batched
+        runs ALL observations in one sampler invocation."""
+        fns = [p.batched_over_x(xs, reps) for p in self._potentials]
+        w = self._weights / self._weights.sum()
+        product = getattr(self, "_combination", "mixture") == "product"
+
+        def potential(theta: Array) -> Array:
+            lps = jnp.stack([f(theta) for f in fns])  # (K, B*reps)
+            if product:
+                return jnp.sum(w[:, None] * lps, axis=0)
+            return jax.scipy.special.logsumexp(
+                lps + jnp.log(w)[:, None], axis=0
+            )
+
+        return potential
+
 
 class EnsemblePosterior(NeuralPosterior):
     def __init__(
@@ -147,13 +166,47 @@ class EnsemblePosterior(NeuralPosterior):
         return samples[perm].reshape(tuple(sample_shape) + samples.shape[1:])
 
     def sample_batched(self, sample_shape, x, key=None, **kwargs):
+        """Vectorized over observations (round-2 VERDICT item 5; matches the
+        Direct/MCMC pattern, ref `mcmc_posterior.py:369-516`).
+
+        mixture: ONE vectorized `sample_batched` dispatch per member (each
+        member draws for all B observations at once), then a per-(sample,
+        obs) categorical gather over the member axis. product: one MCMC
+        run over all observations via the combined potential's
+        `batched_over_x`."""
         key = next_key(key)
         x = jnp.atleast_2d(jnp.asarray(x, jnp.float32))
-        outs = [
-            self.sample(sample_shape, x=x[b][None], key=jax.random.fold_in(key, b), **kwargs)
-            for b in range(x.shape[0])
-        ]
-        return jnp.stack(outs, axis=len(sample_shape))
+        B = x.shape[0]
+        num = 1
+        for s in sample_shape:
+            num *= int(s)
+        if getattr(self, "_combination", "mixture") == "product":
+            from .mcmc_posterior import MCMCPosterior
+
+            mcmc = getattr(self, "_poe_mcmc", None)
+            if mcmc is None:
+                prior = getattr(self.potential_fn, "prior", None)
+                mcmc = self._poe_mcmc = MCMCPosterior(
+                    self.potential_fn,
+                    proposal=prior,
+                    theta_transform=self.theta_transform,
+                )
+            out = mcmc.sample_batched((num,), x=x, key=key, **kwargs)
+            return out.reshape(tuple(sample_shape) + out.shape[1:])
+        k_idx, k_sub = jax.random.split(key)
+        member = jax.random.categorical(
+            k_idx, jnp.log(self.weights), shape=(num, B)
+        )  # (num, B)
+        per_member = jnp.stack([
+            p.sample_batched(
+                (num,), x=x, key=jax.random.fold_in(k_sub, i), **kwargs
+            )
+            for i, p in enumerate(self.posteriors)
+        ])  # (K, num, B, D)
+        picked = jnp.take_along_axis(
+            per_member, member[None, :, :, None], axis=0
+        )[0]  # (num, B, D)
+        return picked.reshape(tuple(sample_shape) + picked.shape[1:])
 
     def log_prob(self, theta, x=None, individually: bool = False, **kwargs):
         """mixture: log of the weighted member mixture (normalized if the

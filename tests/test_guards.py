@@ -4,6 +4,8 @@
 
 import warnings
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 import pytest
@@ -54,8 +56,11 @@ def test_accept_reject_max_sampling_time_partial_return():
     assert any("max_sampling_time" in str(x.message) for x in w)
 
 
-def test_sample_batched_starvation_fills_by_resampling():
-    """A leaking observation warns and fills rows with accepted draws."""
+def test_sample_batched_starvation_falls_back_to_mcmc():
+    """A leaking observation gets exact truncated-posterior samples via the
+    automatic vectorized MCMC fallback — NOT duplicated rejection draws
+    (round-2 VERDICT item 4: duplicate-filling silently corrupts SBC/TARP).
+    """
     seed_all_backends(0)
     prior = BoxUniform(-jnp.ones(2), jnp.ones(2))
     theta = prior.sample(jax.random.PRNGKey(0), (600,))
@@ -66,14 +71,32 @@ def test_sample_batched_starvation_fills_by_resampling():
     posterior = inference.build_posterior()
     # x outside the data manifold leaks; a tiny budget forces starvation
     xs = jnp.stack([jnp.zeros(2), 1.3 * jnp.ones(2)])
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
-        samples = posterior.sample_batched(
-            (50,), xs, key=jax.random.PRNGKey(3), max_rejection_rounds=2
-        )
-    assert any("resampling accepted draws" in str(x.message) for x in w)
+    samples = posterior.sample_batched(
+        (50,), xs, key=jax.random.PRNGKey(3), max_total_proposals=512
+    )
     assert samples.shape == (50, 2, 2)
-    # every returned sample is inside the prior box (no zero-padding rows
-    # pretending to be draws -- zero IS inside the box, so check spread)
+    # every returned sample is inside the prior box and finite
     assert bool(jnp.isfinite(samples).all())
     assert float(jnp.abs(samples).max()) <= 1.0 + 1e-5
+    # the MCMC fill must produce (nearly) unique draws for the starved
+    # observation, unlike duplicate-resampling
+    for b in range(2):
+        uniq = np.unique(np.asarray(samples[:, b, 0])).size
+        assert uniq > 40, (b, uniq)
+
+
+def test_sample_batched_starvation_policy_raise():
+    seed_all_backends(0)
+    prior = BoxUniform(-jnp.ones(2), jnp.ones(2))
+    theta = prior.sample(jax.random.PRNGKey(0), (600,))
+    x = theta + 0.05 * jax.random.normal(jax.random.PRNGKey(1), theta.shape)
+    inference = NPE(prior=prior, density_estimator="mdn")
+    inference.append_simulations(theta, x)
+    inference.train(max_num_epochs=30)
+    posterior = inference.build_posterior()
+    xs = jnp.stack([jnp.zeros(2), 1.5 * jnp.ones(2)])
+    with pytest.raises(RuntimeError, match="starved"):
+        posterior.sample_batched(
+            (50,), xs, key=jax.random.PRNGKey(3),
+            max_total_proposals=512, starvation_policy="raise",
+        )
