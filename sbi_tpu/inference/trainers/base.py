@@ -524,6 +524,13 @@ class NeuralInference(ABC):
                 since_impr = np.where(imp, 0, since_impr + 1)
             self._summary["training_loss"].append(float(tl[:, -1].mean()))
             self._summary["validation_loss"].append(float(vl[:, -1].mean()))
+            if self._show_progress_bars:
+                print(
+                    f"[train_ensemble] epoch {epoch}: mean val "
+                    f"{vl[:, -1].mean():.4f}, members converged "
+                    f"{(since_impr >= stop_after_epochs).sum()}/{num_members}",
+                    flush=True,
+                )
             if (since_impr >= stop_after_epochs).all():
                 break
         if epoch >= max_num_epochs:

@@ -26,6 +26,7 @@ def _flow_builders():
         "zuko_naf": flow_builders.build_zuko_naf,
         "zuko_unaf": flow_builders.build_zuko_unaf,
         "zuko_sospf": flow_builders.build_zuko_sospf,
+        "zuko_cnf": flow_builders.build_zuko_cnf,
     }
 
 

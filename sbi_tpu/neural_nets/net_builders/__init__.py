@@ -12,6 +12,7 @@ from .flow import (
     build_nsf,
     build_unconditional_flow,
     build_zuko_bpf,
+    build_zuko_cnf,
     build_zuko_gf,
     build_zuko_maf,
     build_zuko_naf,
@@ -46,6 +47,7 @@ __all__ = [
     "build_zuko_unaf",
     "build_zuko_gf",
     "build_zuko_bpf",
+    "build_zuko_cnf",
     "build_linear_classifier",
     "build_mlp_classifier",
     "build_resnet_classifier",

@@ -214,6 +214,48 @@ def build_nsf(
     )
 
 
+def build_zuko_cnf(
+    batch_theta,
+    batch_x,
+    z_score_theta="independent",
+    z_score_x="independent",
+    hidden_features: int = 64,
+    num_layers: int = 3,
+    num_steps: int = 32,
+    embedding_net=None,
+    key=None,
+    **kwargs,
+):
+    """Conditional CNF density estimator (ref `net_builders/flow.py` zuko
+    cnf builder family): time-dependent vector field + exact-likelihood
+    training through the RK4/divergence machinery in
+    `samplers/ode/ode_solvers.py`."""
+    from ..estimators.cnf import CNFEstimator, CNFVectorField
+
+    batch_theta = jnp.asarray(batch_theta, jnp.float32)
+    batch_x = jnp.asarray(batch_x, jnp.float32)
+    dim = batch_theta.shape[-1]
+    module = CNFVectorField(
+        dim=dim,
+        hidden_features=hidden_features,
+        num_layers=num_layers,
+        embedding_net=embedding_net,
+    )
+    k = next_key(key)
+    params = module.init(
+        k, batch_theta[:2], batch_x[:2].reshape(2, -1), jnp.zeros(2)
+    )
+    return CNFEstimator(
+        net=module,
+        params=params,
+        input_shape=(dim,),
+        condition_shape=tuple(batch_x.shape[1:]),
+        input_transform=_transforms_for(batch_theta, z_score_theta),
+        condition_transform=_transforms_for(batch_x, z_score_x),
+        num_steps=num_steps,
+    )
+
+
 def build_made(
     batch_theta,
     batch_x,

@@ -61,6 +61,7 @@ NET_BUILDER_NAMES = [
     "build_made", "build_maf", "build_maf_rqs", "build_nsf", "build_mdn",
     "build_zuko_nice", "build_zuko_maf", "build_zuko_nsf", "build_zuko_ncsf",
     "build_zuko_sospf", "build_zuko_naf", "build_zuko_unaf", "build_zuko_gf",
+    "build_zuko_cnf",
     "build_zuko_bpf", "build_tabpfn_flow", "build_linear_classifier",
     "build_mlp_classifier", "build_resnet_classifier",
     "build_categoricalmassestimator", "build_mnle", "build_mnpe",

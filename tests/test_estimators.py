@@ -201,3 +201,60 @@ def test_ncsf_circular_spline():
     samp = est.sample_fn(params, jr.PRNGKey(10), (1000,), jnp.zeros((1, 1)))[:, 0, :]
     frac_near_modes = float((jnp.abs(jnp.abs(samp) - 2.7) < 0.8).mean())
     assert frac_near_modes > 0.8, frac_near_modes
+
+
+def test_cnf_estimator_contract():
+    """build_zuko_cnf (VERDICT round-2 item 9): factory name resolves,
+    shapes follow the (sample, batch, event) convention, log_prob is a
+    normalized density at init (zero-init field => exact standard normal in
+    z-space), and sampling round-trips through the ODE."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sbi_tpu.neural_nets.factory import posterior_nn
+    from sbi_tpu.utils.sbiutils import seed_all_backends
+
+    seed_all_backends(0)
+    theta = jax.random.normal(jax.random.PRNGKey(0), (200, 3))
+    x = theta[:, :2] + 0.1 * jax.random.normal(jax.random.PRNGKey(1), (200, 2))
+    est = posterior_nn("zuko_cnf", hidden_features=32, num_steps=16)(theta, x)
+
+    lp = est.log_prob(theta[:5][None], x[:5])
+    assert lp.shape == (1, 5)
+    assert bool(jnp.isfinite(lp).all())
+    # Zero-init field: the model IS the z-scored standard normal, whose
+    # log-prob in raw space we can compute analytically.
+    z, ldj = jax.vmap(est.input_transform.forward_and_log_det)(theta[:5][None])
+    expected = (-0.5 * z**2 - 0.5 * jnp.log(2 * jnp.pi)).sum(-1) + ldj
+    assert np.allclose(np.asarray(lp), np.asarray(expected), atol=1e-3)
+
+    s = est.sample((7,), x[:4], key=jax.random.PRNGKey(2))
+    assert s.shape == (7, 4, 3)
+    assert bool(jnp.isfinite(s).all())
+
+    # Trains: a few NLL steps reduce the loss.
+    import optax
+
+    tx = optax.adam(1e-3)
+    params = est.params
+    opt = tx.init(params)
+
+    def loss(p):
+        return est.loss_fn(p, theta[:100], x[:100]).mean()
+
+    l0 = float(loss(params))
+    step = jax.jit(lambda p, o: _cnf_step(p, o, loss, tx))
+    for _ in range(20):
+        params, opt = step(params, opt)
+    l1 = float(loss(params))
+    assert l1 < l0, (l0, l1)
+
+
+def _cnf_step(p, o, loss, tx):
+    import jax
+    import optax
+
+    g = jax.grad(loss)(p)
+    up, o = tx.update(g, o, p)
+    return optax.apply_updates(p, up), o
