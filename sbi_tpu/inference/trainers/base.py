@@ -411,8 +411,7 @@ class NeuralInference(ABC):
         train_idx_j = jnp.asarray(train_idx)
         val_idx_j = jnp.asarray(val_idx)
 
-        key, k_members, k_boot = jax.random.split(key, 3)
-        member_keys = jax.random.split(k_members, num_members)
+        key, k_boot = jax.random.split(key)
         if member_train_indices is not None:
             # Explicit per-member slices (e.g. disjoint fresh-simulation
             # blocks for maximal error decorrelation). Rows overlapping the
@@ -439,62 +438,84 @@ class NeuralInference(ABC):
                 train_idx_j, (num_members, len(train_idx))
             )
 
-        def member_chunk(
-            params, opt_state, best_val, best_params, mkey, midx,
+        K = num_members
+
+        # NOTE: the scans stay OUTSIDE the vmap (scan{scan{vmap(step)}}),
+        # NOT vmap{scan{scan{step}}} — XLA:TPU compilation of a vmapped
+        # nested scan pathologically hangs (measured on v5e: a 2-member toy
+        # never finished compiling; this ordering compiles in seconds and
+        # is the same program mathematically).
+        def ens_chunk_fn(
+            params, opt_state, best_val, best_params, chunk_key, midx,
             n_epochs, theta, x, masks,
         ):
             def one_epoch(carry, epoch_key):
                 p, s, bv, bp = carry
-                perm = jax.random.permutation(epoch_key, midx.shape[0])
-                idx = midx[perm[: n_batches * batch_size]].reshape(
-                    n_batches, batch_size
-                )
+
+                def member_perm(k, row):
+                    pm = jax.random.permutation(k, row.shape[0])
+                    return row[pm[: n_batches * batch_size]].reshape(
+                        n_batches, batch_size
+                    )
+
+                idx = jax.vmap(member_perm)(
+                    jax.random.split(epoch_key, K), midx
+                )  # (K, n_batches, batch)
+                idx = jnp.swapaxes(idx, 0, 1)  # (n_batches, K, batch)
                 bkeys = jax.random.split(
                     jax.random.fold_in(epoch_key, 1), n_batches
                 )
 
                 def body(carry2, inp):
                     p2, s2 = carry2
-                    bidx, k = inp
+                    bidx, k = inp  # bidx (K, batch)
 
-                    def mean_loss(p_):
-                        return loss_fn(
-                            p_, k, theta[bidx], x[bidx], masks[bidx]
-                        ).mean()
+                    def member_step(pm, sm, bi, km):
+                        def mean_loss(q):
+                            return loss_fn(
+                                q, km, theta[bi], x[bi], masks[bi]
+                            ).mean()
 
-                    loss, g = jax.value_and_grad(mean_loss)(p2)
-                    updates, s2 = tx.update(g, s2, p2)
-                    p2 = optax.apply_updates(p2, updates)
+                        loss, g = jax.value_and_grad(mean_loss)(pm)
+                        updates, sm = tx.update(g, sm, pm)
+                        return optax.apply_updates(pm, updates), sm, loss
+
+                    p2, s2, loss = jax.vmap(member_step)(
+                        p2, s2, bidx, jax.random.split(k, K)
+                    )
                     return (p2, s2), loss
 
                 (p, s), losses = jax.lax.scan(body, (p, s), (idx, bkeys))
-                val = loss_fn(
-                    p,
-                    jax.random.fold_in(epoch_key, 2),
-                    theta[val_idx_j],
-                    x[val_idx_j],
-                    masks[val_idx_j],
-                ).mean()
+
+                def member_val(pm, km):
+                    return loss_fn(
+                        pm, km, theta[val_idx_j], x[val_idx_j],
+                        masks[val_idx_j],
+                    ).mean()
+
+                val = jax.vmap(member_val)(
+                    p, jax.random.split(jax.random.fold_in(epoch_key, 2), K)
+                )  # (K,)
                 improved = val < bv
                 bv = jnp.where(improved, val, bv)
                 bp = jax.tree_util.tree_map(
-                    lambda b, q: jnp.where(improved, q, b), bp, p
+                    lambda b, q: jnp.where(
+                        improved.reshape((K,) + (1,) * (q.ndim - 1)), q, b
+                    ),
+                    bp, p,
                 )
-                return (p, s, bv, bp), (losses.mean(), val)
+                return (p, s, bv, bp), (losses.mean(axis=0), val)
 
-            ekeys = jax.random.split(mkey, n_epochs)
+            ekeys = jax.random.split(chunk_key, n_epochs)
             (params, opt_state, best_val, best_params), (tl, vl) = jax.lax.scan(
                 one_epoch, (params, opt_state, best_val, best_params), ekeys
             )
-            return params, opt_state, best_val, best_params, tl, vl
+            # (n_epochs, K) -> (K, n_epochs) for the host loop.
+            return (
+                params, opt_state, best_val, best_params, tl.T, vl.T
+            )
 
-        ens_chunk = jax.jit(
-            jax.vmap(
-                member_chunk,
-                in_axes=(0, 0, 0, 0, 0, 0, None, None, None, None),
-            ),
-            static_argnums=(6,),
-        )
+        ens_chunk = jax.jit(ens_chunk_fn, static_argnums=(6,))
 
         best_val = jnp.full((num_members,), jnp.inf)
         best_params = stacked
@@ -503,11 +524,9 @@ class NeuralInference(ABC):
         epoch = 0
         while epoch < max_num_epochs:
             n_this = min(epoch_chunk, max_num_epochs - epoch)
-            member_keys = jax.vmap(
-                lambda k: jax.random.fold_in(k, epoch)
-            )(member_keys)
+            key, k_chunk = jax.random.split(key)
             stacked, opt_state, best_val, best_params, tl, vl = ens_chunk(
-                stacked, opt_state, best_val, best_params, member_keys,
+                stacked, opt_state, best_val, best_params, k_chunk,
                 member_train_idx, n_this, theta, x, masks,
             )
             tl = np.asarray(tl)  # (K, n_this)
