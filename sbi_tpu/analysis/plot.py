@@ -104,39 +104,224 @@ def _mode_for(spec, k: int, default: Optional[str]):
     return spec[k] if k < len(spec) else (spec[-1] if spec else default)
 
 
-def _draw_diag(ax, vals, color, mode, hist_opts, kde_opts, scatter_opts):
-    if mode in (None, "none"):
-        return
-    if mode == "kde":
-        g, d = _kde_1d(vals, kde_opts.num_points, kde_opts.bw_method)
-        ax.plot(g, d, color=color)
-    elif mode == "scatter":
-        ax.scatter(vals, np.zeros_like(vals), s=scatter_opts.s,
-                   alpha=scatter_opts.alpha, color=color)
-    else:  # hist
-        ax.hist(vals, bins=hist_opts.bins, density=hist_opts.density,
-                histtype=hist_opts.histtype, color=color)
+# ---------------------------------------------------------------------------
+# Option resolution (ref `plot.py:941-1010` _prepare_kwargs/_prepare_fig_kwargs)
+# ---------------------------------------------------------------------------
 
 
-def _draw_offdiag(ax, xs, ys, color, mode, hist_opts, kde_opts,
-                  scatter_opts, contour_opts):
+def _as_option_dict(obj) -> dict:
+    from dataclasses import asdict, is_dataclass
+
+    if obj is None:
+        return {}
+    if is_dataclass(obj):
+        return asdict(obj)
+    return dict(obj)
+
+
+def _deep_update(base: dict, update: dict) -> dict:
+    out = dict(base)
+    for k, v in update.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = {**out[k], **v}
+        else:
+            out[k] = v
+    return out
+
+
+def _prepare_cell_kwargs(plot_spec, num_sets, get_default, plot_kwargs):
+    """Per-sample-set (mode, filled-kwargs) pairs for one grid position.
+
+    ``plot_spec``: None | str | list of modes (one per sample set).
+    ``plot_kwargs``: None | dict | Options dataclass | list thereof —
+    merged over each set's defaults (user keys win, nested dicts merged).
+    """
+    modes, filled = [], []
+    for k in range(num_sets):
+        mode = _mode_for(plot_spec, k, None)
+        defaults = get_default(mode, k)
+        if isinstance(plot_kwargs, (list, tuple)):
+            user = _as_option_dict(
+                plot_kwargs[k] if k < len(plot_kwargs) else None
+            )
+        else:
+            user = _as_option_dict(plot_kwargs)
+        modes.append(mode)
+        filled.append(_deep_update(defaults, user))
+    return modes, filled
+
+
+def _prepare_fig_options(fig_kwargs, legacy_subplot_kwargs=None):
+    """dict | FigOptions -> FigOptions. Unknown dict keys are routed into
+    ``subplots`` (passed to `plt.subplots`) for backward compatibility with
+    the earlier flat fig_kwargs API."""
+    from dataclasses import fields
+
+    from .plotting_classes import FigOptions
+
+    if isinstance(fig_kwargs, FigOptions):
+        return fig_kwargs
+    d = dict(fig_kwargs or {})
+    if legacy_subplot_kwargs:
+        d.setdefault("subplots", {}).update(legacy_subplot_kwargs)
+    known = {f.name for f in fields(FigOptions)}
+    subplot_extra = {k: d.pop(k) for k in list(d) if k not in known}
+    if subplot_extra:
+        d["subplots"] = {**subplot_extra, **d.get("subplots", {})}
+    return FigOptions(**d)
+
+
+# ---------------------------------------------------------------------------
+# Mark renderers (ref `plot.py:311-503` plt_* functions)
+# ---------------------------------------------------------------------------
+
+
+def _fd_bins(vals: np.ndarray) -> int:
+    """Freedman-Diaconis bin count (ref HistDiagOptions.bin_heuristic)."""
+    iqr = np.subtract(*np.percentile(vals, [75, 25]))
+    if iqr <= 0:
+        return 50
+    width = 2 * iqr / (len(vals) ** (1 / 3))
+    span = vals.max() - vals.min()
+    return max(int(np.ceil(span / width)), 10) if span > 0 else 10
+
+
+def plt_hist_1d(ax, vals, opts):
+    kw = dict(opts.get("mpl_kwargs", {}))
+    if "bins" not in kw:
+        if opts.get("bins") is not None:
+            kw["bins"] = opts["bins"]
+        elif opts.get("bin_heuristic") == "Freedman-Diaconis":
+            kw["bins"] = _fd_bins(vals)
+        else:
+            kw["bins"] = 50
+    ax.hist(vals, **kw)
+
+
+def plt_kde_1d(ax, vals, opts):
+    import scipy.stats as st
+
+    kde = st.gaussian_kde(vals, bw_method=opts.get("bw_method", "scott"))
+    grid = np.linspace(vals.min(), vals.max(), opts.get("bins", 50))
+    ax.plot(grid, kde(grid), **opts.get("mpl_kwargs", {}))
+
+
+def plt_scatter_1d(ax, vals, opts):
+    ax.scatter(vals, np.zeros_like(vals), **opts.get("mpl_kwargs", {}))
+
+
+def plt_bar_1d(ax, vals, opts):
+    uniq, counts = np.unique(vals, return_counts=True)
+    ax.bar(uniq, counts / counts.sum(), width=opts.get("width", 0.8),
+           **opts.get("mpl_kwargs", {}))
+
+
+def plt_hist_2d(ax, xs, ys, lim_x, lim_y, opts):
+    H, xe, ye = np.histogram2d(
+        xs, ys, range=[lim_x, lim_y], **opts.get("np_hist_kwargs", {})
+    )
+    ax.imshow(
+        H.T, extent=(xe[0], xe[-1], ye[0], ye[-1]),
+        **opts.get("mpl_kwargs", {}),
+    )
+
+
+def _kde_grid_2d(xs, ys, lim_x, lim_y, bins, bw_method):
+    import scipy.stats as st
+
+    kde = st.gaussian_kde(np.vstack([xs, ys]), bw_method=bw_method)
+    gx = np.linspace(lim_x[0], lim_x[1], bins)
+    gy = np.linspace(lim_y[0], lim_y[1], bins)
+    X, Y = np.meshgrid(gx, gy)
+    Z = kde(np.vstack([X.ravel(), Y.ravel()])).reshape(X.shape)
+    return X, Y, Z
+
+
+def plt_kde_2d(ax, xs, ys, lim_x, lim_y, opts):
+    _, _, Z = _kde_grid_2d(
+        xs, ys, lim_x, lim_y, opts.get("bins", 50),
+        opts.get("bw_method", "scott"),
+    )
+    ax.imshow(
+        Z, extent=(lim_x[0], lim_x[1], lim_y[0], lim_y[1]),
+        **opts.get("mpl_kwargs", {}),
+    )
+
+
+def plt_contour_2d(ax, xs, ys, lim_x, lim_y, opts):
+    X, Y, Z = _kde_grid_2d(
+        xs, ys, lim_x, lim_y, opts.get("bins", 50),
+        opts.get("bw_method", "scott"),
+    )
+    levels = list(opts.get("levels", [0.68, 0.95, 0.99]))
+    if opts.get("percentile", True):
+        Zs = np.sort(Z.ravel())[::-1]
+        cum = np.cumsum(Zs) / Zs.sum()
+        levels = sorted({
+            float(Zs[np.searchsorted(cum, min(l, cum[-1]))])
+            for l in sorted(levels)
+        })
+    ax.contour(X, Y, Z, levels=levels, **opts.get("mpl_kwargs", {}))
+
+
+def plt_scatter_2d(ax, xs, ys, opts):
+    ax.scatter(xs, ys, **opts.get("mpl_kwargs", {}))
+
+
+def plt_plot_2d(ax, xs, ys, opts):
+    kw = dict(opts.get("mpl_kwargs", {}))
+    kw.pop("aspect", None)
+    ax.plot(xs, ys, **kw)
+
+
+def _draw_diag_cell(ax, vals, mode, opts):
     if mode in (None, "none"):
         return
-    if mode == "contour":
-        _hist2d_contour(ax, xs, ys, levels=contour_opts.levels, color=color,
-                        bins=hist_opts.bins,
-                        percentile=contour_opts.percentile)
-    elif mode == "kde":
-        _kde2d_contour(ax, xs, ys, levels=contour_opts.levels, color=color,
-                       bw_method=kde_opts.bw_method,
-                       percentile=contour_opts.percentile)
+    fn = {
+        "hist": plt_hist_1d, "kde": plt_kde_1d,
+        "scatter": plt_scatter_1d, "bar": plt_bar_1d,
+    }.get(mode)
+    if fn is None:
+        raise ValueError(f"Unknown diagonal mode '{mode}'")
+    fn(ax, vals, opts)
+
+
+def _draw_offdiag_cell(ax, xs, ys, lim_x, lim_y, mode, opts):
+    if mode in (None, "none"):
+        return
+    if mode in ("hist", "hist2d"):
+        plt_hist_2d(ax, xs, ys, lim_x, lim_y, opts)
+    elif mode in ("kde", "kde2d"):
+        plt_kde_2d(ax, xs, ys, lim_x, lim_y, opts)
+    elif mode in ("contour", "contourf"):
+        plt_contour_2d(ax, xs, ys, lim_x, lim_y, opts)
     elif mode == "scatter":
-        ax.scatter(xs, ys, s=scatter_opts.s, alpha=scatter_opts.alpha,
-                   color=color)
-    elif mode == "hist2d" or mode == "hist":
-        ax.hist2d(xs, ys, bins=hist_opts.bins, cmap="Blues")
+        plt_scatter_2d(ax, xs, ys, opts)
+    elif mode == "plot":
+        plt_plot_2d(ax, xs, ys, opts)
     else:
         raise ValueError(f"Unknown off-diagonal mode '{mode}'")
+
+
+def infer_limits(sample_list, D, eps: float = 0.0):
+    """Per-dimension [min, max] over all sample sets (ref `plot.py:794`)."""
+    lims = []
+    for d in range(D):
+        lo = min(float(s[:, d].min()) for s in sample_list)
+        hi = max(float(s[:, d].max()) for s in sample_list)
+        lims.append([lo - eps, hi + eps])
+    return np.asarray(lims)
+
+
+def _resolve_limits(limits, sample_list, D, eps=0.0):
+    if limits is None:
+        return infer_limits(sample_list, D, eps)
+    lim = np.asarray(limits, dtype=float)
+    if lim.ndim == 1:
+        lim = np.tile(lim, (D, 1))
+    elif lim.shape[0] == 1:
+        lim = np.tile(lim[0], (D, 1))
+    return lim
 
 
 def pairplot(
@@ -150,81 +335,212 @@ def pairplot(
     figsize: Tuple[int, int] = (10, 10),
     labels: Optional[Sequence[str]] = None,
     ticks=None,
+    offdiag: Optional[object] = None,
+    diag_kwargs=None,
+    upper_kwargs=None,
+    lower_kwargs=None,
+    fig_kwargs=None,
     fig=None,
     axes=None,
+    discrete_indices: Optional[Sequence[int]] = None,
     hist_options: Optional[HistOptions] = None,
     kde_options: Optional[KdeOptions] = None,
     scatter_options: Optional[ScatterOptions] = None,
     contour_options: Optional[ContourOptions] = None,
-    fig_kwargs: Optional[dict] = None,
     **kwargs,
 ):
-    """Corner plot of posterior samples (ref plot.py:156). Returns (fig, axes).
+    """Corner plot of posterior samples (ref `plot.py:156-311`).
 
-    `upper`/`lower`/`diag` accept a mode string ("hist", "kde", "scatter",
-    "contour", "hist2d", None) or a list of modes, one per sample set.
-    `lower=None` mirrors `upper` into the lower triangle (the reference's
-    corner layout uses lower cells; passing `lower` explicitly enables
-    split upper/lower rendering). Option dataclasses control each mark;
-    `fig_kwargs` is forwarded to `plt.subplots`.
+    ``upper``/``lower``/``diag`` accept a mode string or a per-sample-set
+    list ({hist, kde, scatter, contour, plot, bar(diag), None}); ``lower``
+    defaults to mirroring ``upper``. ``diag_kwargs``/``upper_kwargs``/
+    ``lower_kwargs`` take a dict, an option dataclass from
+    `analysis.plotting_classes`, or a per-set list of either; ``fig_kwargs``
+    takes a dict or `FigOptions` (legend, colors, tick formatting, subplot
+    kwargs, bg colors, title, despine...). ``discrete_indices`` switches the
+    named dims to bar (diag) / jittered scatter (offdiag) automatically.
+    Returns (fig, axes).
     """
+    from .plotting_classes import (
+        get_default_diag_kwargs,
+        get_default_offdiag_kwargs,
+    )
+
     import matplotlib.pyplot as plt
 
-    hist_opts = hist_options or HistOptions(**kwargs.get("hist_kwargs", {}))
-    kde_opts = kde_options or KdeOptions(**kwargs.get("kde_kwargs", {}))
-    scatter_opts = scatter_options or ScatterOptions(**kwargs.get("scatter_kwargs", {}))
-    contour_opts = contour_options or ContourOptions(**kwargs.get("contour_kwargs", {}))
+    # Legacy flat option objects (pre-round-3 API) become cell kwargs.
+    # Top-level keys only: a shared legacy object may apply to several mark
+    # types, and e.g. `bins` must not leak into a Line2D's mpl kwargs.
+    if hist_options is not None and diag_kwargs is None:
+        diag_kwargs = {"bins": hist_options.bins}
+    if kde_options is not None and diag_kwargs is None:
+        diag_kwargs = {"bins": kde_options.num_points}
+    if contour_options is not None and upper_kwargs is None:
+        upper_kwargs = {
+            "levels": list(contour_options.levels),
+            "percentile": contour_options.percentile,
+        }
+
+    if offdiag is not None and upper is None:
+        upper = offdiag  # deprecated alias (ref `_prepare_upper`)
 
     sample_list = _to_np_list(samples)
+    num_sets = len(sample_list)
     D = sample_list[0].shape[1]
     dims = list(subset) if subset is not None else list(range(D))
     n = len(dims)
-    if axes is None:
-        fig, axes = plt.subplots(n, n, figsize=figsize, squeeze=False,
-                                 **(fig_kwargs or {}))
-    colors = [f"C{i}" for i in range(len(sample_list))]
-    lower_spec = lower if lower is not None else upper
 
+    fig_opts = _prepare_fig_options(fig_kwargs)
+    lim = _resolve_limits(limits, sample_list, D, fig_opts.x_lim_add_eps)
+
+    lower_spec = lower if lower is not None else upper
+    diag_modes, diag_opts = _prepare_cell_kwargs(
+        diag, num_sets, get_default_diag_kwargs, diag_kwargs
+    )
+    upper_modes, upper_opts = _prepare_cell_kwargs(
+        upper, num_sets, get_default_offdiag_kwargs, upper_kwargs
+    )
+    lower_modes, lower_opts = _prepare_cell_kwargs(
+        lower_spec, num_sets, get_default_offdiag_kwargs,
+        lower_kwargs if lower_kwargs is not None else upper_kwargs,
+    )
+
+    # Sample-set colors from FigOptions override the per-index defaults
+    # (image-type off-diagonal marks are colored by their cmap instead).
+    for k in range(num_sets):
+        color = fig_opts.samples_colors[k % len(fig_opts.samples_colors)]
+        mk = diag_opts[k].setdefault("mpl_kwargs", {})
+        mk.setdefault("color", color)
+        for opts, modes in (
+            (upper_opts, upper_modes), (lower_opts, lower_modes),
+        ):
+            mk = opts[k].setdefault("mpl_kwargs", {})
+            if modes[k] in ("contour", "contourf"):
+                mk.setdefault("colors", color)
+            elif modes[k] in ("scatter", "plot"):
+                mk.setdefault("color", color)
+
+    discrete = set(discrete_indices or [])
+
+    if axes is None:
+        fig, axes = plt.subplots(
+            n, n, figsize=figsize, squeeze=False, **fig_opts.subplots
+        )
+    axes = np.atleast_2d(axes)
+
+    legend_handles = {}
     for i, di in enumerate(dims):
         for j, dj in enumerate(dims):
             ax = axes[i][j]
+            kind = "diag" if i == j else ("upper" if j > i else "lower")
+            bg = fig_opts.fig_bg_colors.get(kind)
+            if bg is not None:
+                ax.set_facecolor(bg)
             if i == j:
-                for k, (s, c) in enumerate(zip(sample_list, colors)):
-                    _draw_diag(ax, s[:, di], c, _mode_for(diag, k, "hist"),
-                               hist_opts, kde_opts, scatter_opts)
+                for k, s in enumerate(sample_list):
+                    mode = "bar" if di in discrete else diag_modes[k]
+                    opts = (
+                        get_default_diag_kwargs("bar", k)
+                        if di in discrete else diag_opts[k]
+                    )
+                    _draw_diag_cell(ax, s[:, di], mode, opts)
+                    if mode is not None:
+                        label = fig_opts.samples_labels[
+                            k % len(fig_opts.samples_labels)
+                        ]
+                        legend_handles.setdefault(
+                            label,
+                            plt.Line2D(
+                                [0], [0],
+                                color=opts.get("mpl_kwargs", {}).get(
+                                    "color", f"C{k}"
+                                ),
+                            ),
+                        )
                 if points is not None:
-                    for p in _to_np_list(points):
-                        ax.axvline(p.reshape(-1, D)[0, di], color="k", ls="--")
+                    for pi, p in enumerate(_to_np_list(points)):
+                        ax.axvline(
+                            p.reshape(-1, D)[0, di],
+                            color=fig_opts.points_colors[
+                                pi % len(fig_opts.points_colors)
+                            ],
+                            **fig_opts.points_diag,
+                        )
+                ax.set_xlim(lim[di])
             else:
-                spec = upper if j > i else lower_spec
-                if spec is None:
+                modes = upper_modes if j > i else lower_modes
+                opts_list = upper_opts if j > i else lower_opts
+                if all(m is None for m in modes):
                     ax.axis("off")
                     continue
-                for k, (s, c) in enumerate(zip(sample_list, colors)):
-                    _draw_offdiag(ax, s[:, dj], s[:, di], c,
-                                  _mode_for(spec, k, "hist"),
-                                  hist_opts, kde_opts, scatter_opts,
-                                  contour_opts)
+                for k, s in enumerate(sample_list):
+                    mode = modes[k]
+                    opts = opts_list[k]
+                    xs, ys = s[:, dj], s[:, di]
+                    if dj in discrete or di in discrete:
+                        mode = "scatter" if mode is not None else None
+                        opts = get_default_offdiag_kwargs("scatter", k)
+                        rng = np.random.default_rng(0)
+                        if dj in discrete:
+                            xs = xs + rng.uniform(-0.2, 0.2, xs.shape)
+                        if di in discrete:
+                            ys = ys + rng.uniform(-0.2, 0.2, ys.shape)
+                    _draw_offdiag_cell(
+                        ax, xs, ys, tuple(lim[dj]), tuple(lim[di]), mode, opts
+                    )
                 if points is not None:
-                    for p in _to_np_list(points):
+                    for pi, p in enumerate(_to_np_list(points)):
                         p2 = p.reshape(-1, D)
-                        ax.plot(p2[0, dj], p2[0, di], "k*", markersize=8)
-            if limits is not None:
-                lim = np.asarray(limits)
-                ax.set_xlim(lim[dj] if lim.ndim > 1 else lim)
-                if i != j:
-                    ax.set_ylim(lim[di] if lim.ndim > 1 else lim)
-            if ticks is not None:
-                t = np.asarray(ticks)
-                ax.set_xticks(t[dj] if t.ndim > 1 else t)
-                if i != j:
-                    ax.set_yticks(t[di] if t.ndim > 1 else t)
-            if labels is not None:
-                if i == n - 1:
-                    ax.set_xlabel(labels[dj])
-                if j == 0:
-                    ax.set_ylabel(labels[di])
+                        ax.plot(
+                            p2[0, dj], p2[0, di],
+                            color=fig_opts.points_colors[
+                                pi % len(fig_opts.points_colors)
+                            ],
+                            **fig_opts.points_offdiag,
+                        )
+                ax.set_xlim(lim[dj])
+                ax.set_ylim(lim[di])
+            _format_grid_axis(
+                ax, i, j, n, di, dj, dims, labels, ticks, fig_opts
+            )
+
+    if fig_opts.legend and legend_handles:
+        fig.legend(
+            legend_handles.values(), legend_handles.keys(),
+            **fig_opts.legend_kwargs,
+        )
+    if fig_opts.title:
+        fig.suptitle(fig_opts.title, **fig_opts.title_format)
+    if fig_opts.fig_subplots_adjust:
+        fig.subplots_adjust(**fig_opts.fig_subplots_adjust)
     return fig, axes
+
+
+def _format_grid_axis(ax, i, j, n, di, dj, dims, labels, ticks, fig_opts):
+    """Shared per-cell formatting (ref `plot.py:605-743` _format_subplot)."""
+    if ticks is not None:
+        t = np.asarray(ticks, dtype=object)
+        tx = t[dj] if t.ndim > 1 else t
+        ax.set_xticks(np.asarray(tx, dtype=float))
+        if i != j:
+            ty = t[di] if t.ndim > 1 else t
+            ax.set_yticks(np.asarray(ty, dtype=float))
+    if fig_opts.tickformatter is not None:
+        ax.xaxis.set_major_formatter(fig_opts.tickformatter)
+    if fig_opts.tick_labels is not None:
+        ax.set_xticklabels(fig_opts.tick_labels)
+    if labels is not None:
+        if i == n - 1:
+            ax.set_xlabel(labels[dj])
+        if j == 0:
+            ax.set_ylabel(labels[di])
+    if fig_opts.square_subplots:
+        ax.set_box_aspect(1)
+    offset = fig_opts.despine.get("offset")
+    if offset:
+        ax.spines["bottom"].set_position(("outward", offset))
+        ax.spines["top"].set_visible(False)
+        ax.spines["right"].set_visible(False)
 
 
 def marginal_plot(
@@ -232,40 +548,65 @@ def marginal_plot(
     points=None,
     limits=None,
     subset=None,
-    diag: str = "hist",
+    diag: Optional[object] = "hist",
     figsize: Tuple[int, int] = (10, 2),
     labels=None,
+    ticks=None,
+    diag_kwargs=None,
+    fig_kwargs=None,
     fig=None,
     axes=None,
     **kwargs,
 ):
-    """1D marginals in a row (ref plot.py:57)."""
+    """1D marginals in a row (ref `plot.py:57-155`): the pairplot diagonal
+    machinery (per-set modes, diag_kwargs, fig_kwargs) on a 1 x D grid."""
+    from .plotting_classes import get_default_diag_kwargs
+
     import matplotlib.pyplot as plt
 
     sample_list = _to_np_list(samples)
+    num_sets = len(sample_list)
     D = sample_list[0].shape[1]
     dims = list(subset) if subset is not None else list(range(D))
     n = len(dims)
+
+    fig_opts = _prepare_fig_options(fig_kwargs)
+    lim = _resolve_limits(limits, sample_list, D, fig_opts.x_lim_add_eps)
+    diag_modes, diag_opts = _prepare_cell_kwargs(
+        diag, num_sets, get_default_diag_kwargs, diag_kwargs
+    )
+    for k in range(num_sets):
+        diag_opts[k].setdefault("mpl_kwargs", {}).setdefault(
+            "color", fig_opts.samples_colors[k % len(fig_opts.samples_colors)]
+        )
+
     if axes is None:
-        fig, axes = plt.subplots(1, n, figsize=figsize, squeeze=False)
+        fig, axes = plt.subplots(
+            1, n, figsize=figsize, squeeze=False, **fig_opts.subplots
+        )
         axes = axes[0]
+    axes = np.ravel(np.asarray(axes, dtype=object))
     for j, dj in enumerate(dims):
         ax = axes[j]
         for k, s in enumerate(sample_list):
-            if diag == "kde":
-                g, d = _kde_1d(s[:, dj])
-                ax.plot(g, d, color=f"C{k}")
-            else:
-                ax.hist(s[:, dj], bins=50, density=True, histtype="step",
-                        color=f"C{k}")
+            _draw_diag_cell(ax, s[:, dj], diag_modes[k], diag_opts[k])
         if points is not None:
-            for p in _to_np_list(points):
-                ax.axvline(p.reshape(-1, D)[0, dj], color="k", ls="--")
+            for pi, p in enumerate(_to_np_list(points)):
+                ax.axvline(
+                    p.reshape(-1, D)[0, dj],
+                    color=fig_opts.points_colors[
+                        pi % len(fig_opts.points_colors)
+                    ],
+                    **fig_opts.points_diag,
+                )
         if labels is not None:
             ax.set_xlabel(labels[dj])
-        if limits is not None:
-            lim = np.asarray(limits)
-            ax.set_xlim(lim[dj if lim.ndim > 1 else 0])
+        ax.set_xlim(lim[dj])
+        if ticks is not None:
+            t = np.asarray(ticks)
+            ax.set_xticks(np.asarray(t[dj] if t.ndim > 1 else t, dtype=float))
+    if fig_opts.title:
+        fig.suptitle(fig_opts.title, **fig_opts.title_format)
     return fig, axes
 
 

