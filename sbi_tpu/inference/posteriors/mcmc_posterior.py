@@ -209,6 +209,11 @@ class MCMCPosterior(NeuralPosterior):
 
         # (per_chain, C, D) -> flatten interleaved like the reference
         D = draws_u.shape[-1]
+        # Chain-resolved draws in parameter space, kept for arviz interop
+        # (ref mcmc_posterior.py:288 get_arviz_inference_data).
+        self._last_chain_draws = self.theta_transform.inverse(
+            draws_u.reshape(-1, D)
+        ).reshape(draws_u.shape)
         flat_u = draws_u.reshape(-1, D)[:num_samples]
         samples = self.theta_transform.inverse(flat_u)
         self._latest_sample = samples[-num_chains:]
@@ -285,7 +290,24 @@ class MCMCPosterior(NeuralPosterior):
         """Unnormalized potential (matches reference behavior for MCMC)."""
         return self.potential(theta, x)
 
-    def get_arviz_inference_data(self):  # pragma: no cover - optional extra
-        raise NotImplementedError(
-            "arviz interop is not implemented in sbi_tpu."
-        )
+    def get_arviz_inference_data(self):
+        """`arviz.InferenceData` from the most recent `sample()` run's
+        chain-resolved draws (ref `mcmc_posterior.py:288`). arviz is an
+        optional dependency, gated exactly like the reference gates pymc."""
+        draws = getattr(self, "_last_chain_draws", None)
+        if draws is None:
+            raise ValueError(
+                "No MCMC draws recorded yet — call `.sample()` first."
+            )
+        try:
+            import arviz as az
+        except ImportError as err:
+            raise ImportError(
+                "arviz is required for `get_arviz_inference_data`; "
+                "install it with `pip install arviz`."
+            ) from err
+        import numpy as np
+
+        # (num_samples_per_chain, num_chains, D) -> (chain, draw, D)
+        chains = np.swapaxes(np.asarray(draws), 0, 1)
+        return az.convert_to_inference_data(chains)
