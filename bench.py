@@ -166,6 +166,73 @@ def measure_jax_train() -> float:
     return n_batches / (time.perf_counter() - t0)
 
 
+def measure_ensemble_scaling(n_members: int = 16) -> dict:
+    """Vmapped K-member NSF training throughput (member-steps/sec) vs K=1.
+
+    The TPU-first ensemble redesign (train_ensemble): K estimators train as
+    one program, converting idle MXU FLOPs into statistical power. Near-
+    linear member scaling means K-member PoE costs ~the wall-clock of one.
+    """
+    import jax
+    import optax
+
+    from sbi_tpu.neural_nets.net_builders.flow import build_nsf
+
+    key = jax.random.PRNGKey(0)
+    theta = jax.random.normal(key, (TRAIN_BATCH * 4, THETA_DIM))
+    x = jax.random.normal(jax.random.fold_in(key, 1), (TRAIN_BATCH * 4, X_DIM))
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(5e-4))
+    idx = jax.random.randint(
+        jax.random.fold_in(key, 2), (TRAIN_STEPS, TRAIN_BATCH), 0, theta.shape[0]
+    )
+
+    def member_rate(K: int) -> float:
+        import jax.numpy as jnp
+
+        ests = [build_nsf(theta, x, key=jax.random.fold_in(key, 10 + i))
+                for i in range(K)]
+        est = ests[0]
+        stacked = jax.tree_util.tree_map(
+            lambda *p: jnp.stack(p), *[e.params for e in ests]
+        )
+        opt = jax.vmap(tx.init)(stacked)
+
+        @jax.jit
+        def run_epoch(params, opt_state):
+            def body(carry, bidx):
+                def member_step(pm, sm):
+                    def mean_loss(q):
+                        return est.loss_fn(q, theta[bidx], x[bidx]).mean()
+
+                    loss, g = jax.value_and_grad(mean_loss)(pm)
+                    up, sm = tx.update(g, sm, pm)
+                    return optax.apply_updates(pm, up), sm, loss
+
+                p, s = carry
+                p, s, losses = jax.vmap(member_step)(p, s)
+                return (p, s), losses
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), idx
+            )
+            return params, opt_state, losses
+
+        p, s, l = run_epoch(stacked, opt)
+        jax.block_until_ready(l)
+        t0 = time.perf_counter()
+        p, s, l = run_epoch(stacked, opt)
+        jax.block_until_ready(l)
+        return K * TRAIN_STEPS / (time.perf_counter() - t0)
+
+    r1 = member_rate(1)
+    rK = member_rate(n_members)
+    return {
+        "members": n_members,
+        "member_steps_per_sec": round(rK, 1),
+        "scaling_vs_single": round(rK / r1, 2),
+    }
+
+
 def measure_jax_nle_slice() -> float:
     """FSM slice chains on an NSF likelihood potential — the real NLE/NRE
     sampling hot loop (one batched flow eval per FSM iteration)."""
@@ -336,6 +403,9 @@ def main():
                 "value": round(nle_v, 1),
                 "vs_baseline": _ratio(nle_v, baselines.get("nle_samples_per_sec", float("nan"))),
             },
+            # Vmapped ensemble training (no reference counterpart — the
+            # reference trains members serially, ensemble_posterior.py:19).
+            "ensemble_members_steps_per_sec": measure_ensemble_scaling(16),
         },
     }
     print(json.dumps(out))
