@@ -144,3 +144,57 @@ def test_observation_sharded_amortized_sampling(mesh):
     # each observation's posterior mean should track its x
     means = np.asarray(samples.mean(axis=0))
     assert np.corrcoef(means[:, 0], np.asarray(xs[:, 0]))[0, 1] > 0.9
+
+
+def test_member_sharded_ensemble_step_matches_unsharded(mesh):
+    """train_ensemble's member axis sharded over the mesh must produce the
+    SAME per-member losses/updates as the unsharded vmapped step (members
+    are independent: no collectives, pure placement)."""
+    import optax
+
+    from sbi_tpu.neural_nets.net_builders.flow import build_nsf
+
+    seed_all_backends(0)
+    key = jax.random.PRNGKey(0)
+    theta = jax.random.normal(key, (64, 3))
+    x = jax.random.normal(jax.random.fold_in(key, 1), (64, 4))
+    members = [
+        build_nsf(theta, x, hidden_features=16, num_transforms=2,
+                  key=jax.random.fold_in(key, 10 + i))
+        for i in range(8)
+    ]
+    est = members[0]
+    stacked = jax.tree_util.tree_map(
+        lambda *p: jnp.stack(p), *[m.params for m in members]
+    )
+    tx = optax.adam(1e-3)
+    opt = jax.vmap(tx.init)(stacked)
+
+    def step(params, opt_state):
+        def member_step(pm, sm):
+            def loss(q):
+                return est.loss_fn(q, theta, x).mean()
+
+            l, g = jax.value_and_grad(loss)(pm)
+            up, sm = tx.update(g, sm, pm)
+            return optax.apply_updates(pm, up), sm, l
+
+        return jax.vmap(member_step)(params, opt_state)
+
+    # Unsharded reference.
+    p_ref, _, l_ref = jax.jit(step)(stacked, opt)
+    # Member-sharded execution.
+    sharded = jax.device_put(stacked, NamedSharding(mesh, P("data")))
+    opt_sh = jax.vmap(tx.init)(sharded)
+    p_sh, _, l_sh = jax.jit(step)(sharded, opt_sh)
+
+    np.testing.assert_allclose(
+        np.asarray(l_sh), np.asarray(l_ref), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_sh), jax.tree_util.tree_leaves(p_ref)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    # the member axis really is distributed
+    leaf = jax.tree_util.tree_leaves(p_sh)[0]
+    assert len(leaf.sharding.device_set) == 8
