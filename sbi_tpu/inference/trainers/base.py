@@ -538,7 +538,11 @@ class NeuralInference(ABC):
                 )
             epoch += n_this
             for e in range(n_this):
-                imp = vl[:, e] < host_best
+                # Patience requires a MATERIAL improvement (1e-4): with many
+                # members, some member always ekes out a float-level gain,
+                # which would otherwise reset its counter forever. Best-param
+                # snapshots (on device) still use strict `<`.
+                imp = vl[:, e] < host_best - 1e-4
                 host_best = np.where(imp, vl[:, e], host_best)
                 since_impr = np.where(imp, 0, since_impr + 1)
             self._summary["training_loss"].append(float(tl[:, -1].mean()))

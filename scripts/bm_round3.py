@@ -94,7 +94,7 @@ def _poe_sample(est, stacked_params, prior, x_o, n, key, mcmc_kw=None):
 
 
 def run_poe_vmapped_slcp(per_member, n_members=16, rounds=1,
-                         obs_list=(0, 1, 2), patience=150, batch_size=500,
+                         obs_list=(0, 1, 2), patience=100, batch_size=500,
                          ckpt_dir="/tmp/poe_slcp_ckpt", **est_kw):
     """K-member PoE with disjoint per-member simulation blocks, trained as
     one vmapped program. rounds>1 draws later-round data from the current
