@@ -414,17 +414,24 @@ class NeuralInference(ABC):
         key, k_boot = jax.random.split(key)
         if member_train_indices is not None:
             # Explicit per-member slices (e.g. disjoint fresh-simulation
-            # blocks for maximal error decorrelation). Rows overlapping the
-            # shared validation split are dropped; rows are trimmed to a
-            # common length so they stack.
-            val_set = set(np.asarray(val_idx).tolist())
-            rows = [
-                np.asarray([j for j in np.asarray(r) if j not in val_set])
-                for r in member_train_indices
-            ]
-            assert len(rows) == num_members
-            m = min(len(r) for r in rows)
-            member_train_idx = jnp.asarray(np.stack([r[:m] for r in rows]))
+            # blocks for maximal error decorrelation). Each member's
+            # VALIDATION set is carved from ITS OWN rows — a shared global
+            # split would score every member on other members' data, so
+            # best-val snapshots would favor blurry cross-member fits.
+            # Rows are trimmed to common lengths so they stack.
+            assert len(member_train_indices) == num_members
+            rows = [np.asarray(r) for r in member_train_indices]
+            n_val = max(1, int(math.floor(
+                validation_fraction * min(len(r) for r in rows)
+            )))
+            m = min(len(r) for r in rows) - n_val
+            assert m > 0, "member blocks too small for the validation split"
+            member_train_idx = jnp.asarray(
+                np.stack([r[:m] for r in rows])
+            )
+            member_val_idx = jnp.asarray(
+                np.stack([r[len(r) - n_val:] for r in rows])
+            )
             batch_size = min(training_batch_size, m)
             n_batches = max(1, m // batch_size)
         elif bootstrap:
@@ -433,9 +440,15 @@ class NeuralInference(ABC):
                     k, train_idx_j, shape=(len(train_idx),), replace=True
                 )
             )(jax.random.split(k_boot, num_members))
+            member_val_idx = jnp.broadcast_to(
+                val_idx_j, (num_members, len(val_idx))
+            )
         else:
             member_train_idx = jnp.broadcast_to(
                 train_idx_j, (num_members, len(train_idx))
+            )
+            member_val_idx = jnp.broadcast_to(
+                val_idx_j, (num_members, len(val_idx))
             )
 
         K = num_members
@@ -447,7 +460,7 @@ class NeuralInference(ABC):
         # is the same program mathematically).
         def ens_chunk_fn(
             params, opt_state, best_val, best_params, chunk_key, midx,
-            n_epochs, theta, x, masks,
+            mval_idx, n_epochs, theta, x, masks,
         ):
             def one_epoch(carry, epoch_key):
                 p, s, bv, bp = carry
@@ -487,14 +500,15 @@ class NeuralInference(ABC):
 
                 (p, s), losses = jax.lax.scan(body, (p, s), (idx, bkeys))
 
-                def member_val(pm, km):
+                def member_val(pm, km, vi):
                     return loss_fn(
-                        pm, km, theta[val_idx_j], x[val_idx_j],
-                        masks[val_idx_j],
+                        pm, km, theta[vi], x[vi], masks[vi]
                     ).mean()
 
                 val = jax.vmap(member_val)(
-                    p, jax.random.split(jax.random.fold_in(epoch_key, 2), K)
+                    p,
+                    jax.random.split(jax.random.fold_in(epoch_key, 2), K),
+                    mval_idx,
                 )  # (K,)
                 improved = val < bv
                 bv = jnp.where(improved, val, bv)
@@ -515,7 +529,7 @@ class NeuralInference(ABC):
                 params, opt_state, best_val, best_params, tl.T, vl.T
             )
 
-        ens_chunk = jax.jit(ens_chunk_fn, static_argnums=(6,))
+        ens_chunk = jax.jit(ens_chunk_fn, static_argnums=(7,))
 
         best_val = jnp.full((num_members,), jnp.inf)
         best_params = stacked
@@ -527,7 +541,7 @@ class NeuralInference(ABC):
             key, k_chunk = jax.random.split(key)
             stacked, opt_state, best_val, best_params, tl, vl = ens_chunk(
                 stacked, opt_state, best_val, best_params, k_chunk,
-                member_train_idx, n_this, theta, x, masks,
+                member_train_idx, member_val_idx, n_this, theta, x, masks,
             )
             tl = np.asarray(tl)  # (K, n_this)
             vl = np.asarray(vl)

@@ -213,7 +213,15 @@ rational_quadratic_spline_pallas.defvjp(_fwd, _bwd)
 
 
 def pallas_available() -> bool:
-    """Pallas TPU kernels need a real TPU backend."""
+    """Pallas TPU kernels need a real TPU backend.
+
+    ``SBI_TPU_DISABLE_PALLAS=1`` force-disables the kernel (ops fall back
+    to the XLA-fused jnp path) — escape hatch for Mosaic kernel faults
+    observed on very large fused PoE-potential programs."""
+    import os
+
+    if os.environ.get("SBI_TPU_DISABLE_PALLAS"):
+        return False
     try:
         return jax.default_backend() == "tpu"
     except Exception:

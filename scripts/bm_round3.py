@@ -99,56 +99,97 @@ def run_poe_vmapped_slcp(per_member, n_members=16, rounds=1,
     """K-member PoE with disjoint per-member simulation blocks, trained as
     one vmapped program. rounds>1 draws later-round data from the current
     PoE posterior pooled over the benchmark observations (round-2 winner's
-    schedule, scripts/bm_round2.py::run_nle_iid_ens_slcp)."""
+    schedule, scripts/bm_round2.py::run_nle_iid_ens_slcp).
+
+    Every stage checkpoints to ``ckpt_dir`` (member params per round,
+    proposal thetas, per-obs scores) and is skipped on re-run — the TPU
+    worker has crashed mid-PoE-MCMC twice across rounds, so the pipeline
+    must survive a process restart (memory: round2-operational-notes).
+    """
+    import json
+
     from sbi_tpu.inference import NLE_A
     from sbi_tpu.neural_nets.factory import likelihood_nn
-    from sbi_tpu.utils.checkpointing import save_pytree
+    from sbi_tpu.utils.checkpointing import restore_pytree, save_pytree
 
     bench = get_bench_task("slcp")
     prior = bench.prior
     K = n_members
     per_round = per_member // rounds
+    os.makedirs(ckpt_dir, exist_ok=True)
 
     seed_all_backends(0)
     est_builder = likelihood_nn("nsf", **est_kw) if est_kw else likelihood_nn("nsf")
     inf = NLE_A(prior=prior, density_estimator=est_builder)
 
-    # Round 1: K disjoint fresh blocks.
+    # Round 1: K disjoint fresh blocks (deterministic keys -> reproducible
+    # across resumes).
     theta = prior.sample(jr.PRNGKey(500), (K * per_round,))
     x = bench.simulator(theta, key=jr.PRNGKey(600))
     inf.append_simulations(jnp.repeat(theta, 4, axis=0), x.reshape(-1, 2))
-    n_pairs = 4 * K * per_round
     member_rows = [
         np.arange(m * 4 * per_round, (m + 1) * 4 * per_round) for m in range(K)
     ]
 
-    t0 = time.time()
-    inf.train_ensemble(
-        num_members=K, training_batch_size=batch_size,
-        stop_after_epochs=patience, epoch_chunk=EPOCH_CHUNK,
-        member_train_indices=member_rows, max_num_epochs=3000,
-    )
-    print(f"  round 0: K={K} trained in {time.time()-t0:.0f}s "
-          f"({inf.summary['epochs_trained'][-1]} epochs)", flush=True)
-    est = inf._ensemble_estimators[0]
-    stacked = inf._ensemble_stacked_params
-    save_pytree(f"{ckpt_dir}/round0", stacked)
+    def train_round(r):
+        t0 = time.time()
+        inf.train_ensemble(
+            num_members=K, training_batch_size=batch_size,
+            stop_after_epochs=patience, epoch_chunk=EPOCH_CHUNK,
+            member_train_indices=member_rows, max_num_epochs=3000,
+        )
+        print(f"  round {r}: K={K} trained in {time.time()-t0:.0f}s "
+              f"({inf.summary['epochs_trained'][-1]} epochs)", flush=True)
+        save_pytree(f"{ckpt_dir}/round{r}", inf._ensemble_stacked_params)
+        return inf._ensemble_estimators[0], inf._ensemble_stacked_params
+
+    def try_restore(r):
+        path = f"{ckpt_dir}/round{r}"
+        if not os.path.exists(path):
+            return None
+        # The estimator must be rebuilt on the SAME data the checkpointed
+        # members were trained on — its z-scoring transforms are data
+        # statistics, and a mismatch silently shifts every log-prob.
+        th_all, x_all, _ = inf.get_simulations(0)
+        est = inf._build_neural_net(th_all, x_all)
+        template = jax.tree_util.tree_map(
+            lambda p: jnp.broadcast_to(p, (K,) + p.shape), est.params
+        )
+        stacked = restore_pytree(path, like=template)
+        print(f"  round {r}: restored from checkpoint", flush=True)
+        return est, stacked
+
+    restored = try_restore(0)
+    if restored is not None:
+        est, stacked = restored
+        if inf._neural_net is None:
+            inf._neural_net = est
+    else:
+        est, stacked = train_round(0)
 
     for r in range(1, rounds):
         # Pooled PoE-posterior proposal over the scored observations.
-        t0 = time.time()
-        parts = []
-        n_per_obs = per_round // len(obs_list)
-        for i in obs_list:
-            x_o = bench.get_observation(i).reshape(4, 2)
-            parts.append(_poe_sample(
-                est, stacked, prior, x_o, K * n_per_obs,
-                key=jr.PRNGKey(7000 + 100 * r + i),
-            ))
-        theta_r = jnp.concatenate(parts)
-        theta_r = jax.random.permutation(jr.PRNGKey(31 * r), theta_r)
+        theta_path = f"{ckpt_dir}/theta_r{r}.npy"
+        if os.path.exists(theta_path):
+            theta_r = jnp.asarray(np.load(theta_path))
+            print(f"  round {r}: proposals restored", flush=True)
+        else:
+            t0 = time.time()
+            parts = []
+            n_per_obs = per_round // len(obs_list)
+            for i in obs_list:
+                x_o = bench.get_observation(i).reshape(4, 2)
+                parts.append(_poe_sample(
+                    est, stacked, prior, x_o, K * n_per_obs,
+                    key=jr.PRNGKey(7000 + 100 * r + i),
+                ))
+            theta_r = jnp.concatenate(parts)
+            theta_r = jax.random.permutation(jr.PRNGKey(31 * r), theta_r)
+            np.save(theta_path, np.asarray(theta_r))
+            print(f"  round {r}: proposal draws in {time.time()-t0:.0f}s",
+                  flush=True)
         x_r = bench.simulator(theta_r, key=jr.PRNGKey(800 + r))
-        base = sum(t.shape[0] for t in inf._theta_roundwise)  # stored rows are pairs
+        base = sum(t.shape[0] for t in inf._theta_roundwise)  # rows are pairs
         inf.append_simulations(jnp.repeat(theta_r, 4, axis=0),
                                x_r.reshape(-1, 2), proposal=object())
         n_r = theta_r.shape[0] // K
@@ -159,26 +200,26 @@ def run_poe_vmapped_slcp(per_member, n_members=16, rounds=1,
             ])
             for m in range(K)
         ]
-        print(f"  round {r}: proposal draws in {time.time()-t0:.0f}s", flush=True)
-        t0 = time.time()
-        inf.train_ensemble(
-            num_members=K, training_batch_size=batch_size,
-            stop_after_epochs=patience, epoch_chunk=EPOCH_CHUNK,
-            member_train_indices=member_rows, max_num_epochs=3000,
-        )
-        print(f"  round {r}: retrained in {time.time()-t0:.0f}s "
-              f"({inf.summary['epochs_trained'][-1]} epochs)", flush=True)
-        est = inf._ensemble_estimators[0]
-        stacked = inf._ensemble_stacked_params
-        save_pytree(f"{ckpt_dir}/round{r}", stacked)
+        restored = try_restore(r)
+        if restored is not None:
+            est, stacked = restored
+        else:
+            est, stacked = train_round(r)
 
-    scores = []
+    scores_path = f"{ckpt_dir}/scores.json"
+    scores = {}
+    if os.path.exists(scores_path):
+        scores = {int(k): v for k, v in json.load(open(scores_path)).items()}
     for i in obs_list:
+        if i in scores:
+            print(f"  obs {i}: c2st={scores[i]:.4f} (cached)", flush=True)
+            continue
         t0 = time.time()
         s, _ = _eval_poe(est, stacked, prior, bench, i)
-        scores.append(s)
+        scores[i] = s
+        json.dump(scores, open(scores_path, "w"))
         print(f"  obs {i}: c2st={s:.4f} ({time.time()-t0:.0f}s)", flush=True)
-    return scores
+    return [scores[i] for i in obs_list]
 
 
 def run_npe_gl_tuned(num_simulations=10000):
@@ -219,7 +260,40 @@ EXPERIMENTS = {
                                                    rounds=2),
                       "snle-iid-poe32", "slcp", 40000),
     "npe_gl_tuned": (run_npe_gl_tuned, "npe", "gaussian_linear", 10000),
+    "npse_tm_r3": (lambda: _run_npse_tm(), "npse", "two_moons", 30000),
+    "fmpe_tm_r3": (lambda: _run_fmpe_tm(), "fmpe", "two_moons", 30000),
 }
+
+
+def _run_npse_tm():
+    """NPSE retune with the round-3 EMA/statistical convergence (VERDICT
+    item 3 'Done' target: two_moons <=0.60, stretch <=0.55)."""
+    import importlib.util as _u
+
+    spec = _u.spec_from_file_location(
+        "bm_round2", os.path.join(os.path.dirname(__file__), "bm_round2.py")
+    )
+    m = _u.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m.run_amortized(
+        "two_moons", "npse", 30000, batch_size=200, patience=50,
+        sample_kw=dict(steps=1000, corrector="langevin"),
+        model="ada_mlp", sde_type="vp", hidden_features=256, num_layers=6,
+    )
+
+
+def _run_fmpe_tm():
+    import importlib.util as _u
+
+    spec = _u.spec_from_file_location(
+        "bm_round2", os.path.join(os.path.dirname(__file__), "bm_round2.py")
+    )
+    m = _u.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m.run_amortized(
+        "two_moons", "fmpe", 30000, batch_size=200, patience=50,
+        model="ada_mlp", hidden_features=256, num_layers=6,
+    )
 
 
 def main():
