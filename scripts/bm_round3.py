@@ -68,7 +68,15 @@ def _eval_poe(est, stacked_params, prior, bench, i, n=2000,
     return float(c2st(samples, ref[:n])), post
 
 
-def _poe_sample(est, stacked_params, prior, x_o, n, key, mcmc_kw=None):
+def _poe_sample(est, stacked_params, prior, x_o, n, key, mcmc_kw=None,
+                max_per_call=25_000):
+    """Chunked PoE-posterior MCMC draws.
+
+    One giant device program (warmup + n/chains sweeps of the K-member
+    potential) reliably CRASHES the TPU worker beyond ~10^3 sweeps — the
+    round-2 ens7 loss and two round-3 crashes were all in this spot. Keep
+    every program short by drawing in <=max_per_call slices (each slice
+    re-runs warmup; wasteful but bounded)."""
     from sbi_tpu.inference import MCMCPosterior
     from sbi_tpu.inference.potentials.base_potential import (
         CustomPotentialWrapper,
@@ -83,14 +91,22 @@ def _poe_sample(est, stacked_params, prior, x_o, n, key, mcmc_kw=None):
         )(stacked_params)
         return lls.mean(axis=0) + prior.log_prob(theta)
 
-    kw = dict(num_chains=200, warmup_steps=300, thin=3,
+    kw = dict(num_chains=400, warmup_steps=300, thin=3,
               init_strategy="proposal")
     kw.update(mcmc_kw or {})
     post = MCMCPosterior(
         CustomPotentialWrapper(potential, prior=prior),
         proposal=prior, **kw,
     ).set_default_x(x_o)
-    return post.sample((n,), key=key)
+    out = []
+    remaining = n
+    c = 0
+    while remaining > 0:
+        take = min(remaining, max_per_call)
+        out.append(post.sample((take,), key=jr.fold_in(key, c)))
+        remaining -= take
+        c += 1
+    return jnp.concatenate(out, axis=0)
 
 
 def run_poe_vmapped_slcp(per_member, n_members=16, rounds=1,
@@ -124,8 +140,10 @@ def run_poe_vmapped_slcp(per_member, n_members=16, rounds=1,
 
     # Round 1: K disjoint fresh blocks (deterministic keys -> reproducible
     # across resumes).
+    print("  simulating round-0 data...", flush=True)
     theta = prior.sample(jr.PRNGKey(500), (K * per_round,))
     x = bench.simulator(theta, key=jr.PRNGKey(600))
+    print("  data ready", flush=True)
     inf.append_simulations(jnp.repeat(theta, 4, axis=0), x.reshape(-1, 2))
     member_rows = [
         np.arange(m * 4 * per_round, (m + 1) * 4 * per_round) for m in range(K)
@@ -150,8 +168,10 @@ def run_poe_vmapped_slcp(per_member, n_members=16, rounds=1,
         # The estimator must be rebuilt on the SAME data the checkpointed
         # members were trained on — its z-scoring transforms are data
         # statistics, and a mismatch silently shifts every log-prob.
+        print(f"  round {r}: rebuilding estimator for restore...", flush=True)
         th_all, x_all, _ = inf.get_simulations(0)
         est = inf._build_neural_net(th_all, x_all)
+        print(f"  round {r}: estimator rebuilt, restoring...", flush=True)
         template = jax.tree_util.tree_map(
             lambda p: jnp.broadcast_to(p, (K,) + p.shape), est.params
         )
@@ -178,11 +198,20 @@ def run_poe_vmapped_slcp(per_member, n_members=16, rounds=1,
             parts = []
             n_per_obs = per_round // len(obs_list)
             for i in obs_list:
+                # per-obs checkpoint: a worker crash costs one obs, not all
+                obs_path = f"{ckpt_dir}/theta_r{r}_obs{i}.npy"
+                if os.path.exists(obs_path):
+                    parts.append(jnp.asarray(np.load(obs_path)))
+                    continue
                 x_o = bench.get_observation(i).reshape(4, 2)
-                parts.append(_poe_sample(
+                draws = _poe_sample(
                     est, stacked, prior, x_o, K * n_per_obs,
                     key=jr.PRNGKey(7000 + 100 * r + i),
-                ))
+                )
+                np.save(obs_path, np.asarray(draws))
+                parts.append(draws)
+                print(f"  round {r}: obs {i} proposals done "
+                      f"({time.time()-t0:.0f}s)", flush=True)
             theta_r = jnp.concatenate(parts)
             theta_r = jax.random.permutation(jr.PRNGKey(31 * r), theta_r)
             np.save(theta_path, np.asarray(theta_r))
@@ -222,7 +251,7 @@ def run_poe_vmapped_slcp(per_member, n_members=16, rounds=1,
     return [scores[i] for i in obs_list]
 
 
-def run_npe_gl_tuned(num_simulations=10000):
+def run_npe_gl_tuned(num_simulations=10000, model="nsf", **est_kw):
     """npe/gaussian_linear 0.557 -> target <=0.55 (VERDICT item 6)."""
     from sbi_tpu.inference import NPE
     from sbi_tpu.neural_nets.factory import posterior_nn
@@ -232,7 +261,8 @@ def run_npe_gl_tuned(num_simulations=10000):
     seed_all_backends(0)
     theta = prior.sample(jr.PRNGKey(0), (num_simulations,))
     x = bench.simulator(theta, key=jr.PRNGKey(1))
-    est = posterior_nn("nsf", hidden_features=100, num_transforms=8)
+    est = posterior_nn(model, **est_kw) if est_kw or model != "nsf" else \
+        posterior_nn("nsf", hidden_features=100, num_transforms=8)
     inference = NPE(prior=prior, density_estimator=est)
     inference.append_simulations(theta, x)
     inference.train(training_batch_size=200, epoch_chunk=EPOCH_CHUNK,
@@ -260,6 +290,12 @@ EXPERIMENTS = {
                                                    rounds=2),
                       "snle-iid-poe32", "slcp", 40000),
     "npe_gl_tuned": (run_npe_gl_tuned, "npe", "gaussian_linear", 10000),
+    "npe_gl_mdn": (lambda: run_npe_gl_tuned(
+        30000, model="mdn", num_components=8, hidden_features=128,
+        num_layers=3), "npe-mdn", "gaussian_linear", 30000),
+    "npe_gl_maf": (lambda: run_npe_gl_tuned(
+        30000, model="maf", hidden_features=100, num_transforms=8),
+        "npe-maf", "gaussian_linear", 30000),
     "npse_tm_r3": (lambda: _run_npse_tm(), "npse", "two_moons", 30000),
     "fmpe_tm_r3": (lambda: _run_fmpe_tm(), "fmpe", "two_moons", 30000),
 }
