@@ -128,13 +128,13 @@ def test_cnf_npe_end_to_end_c2st():
     seed_all_backends(0)
     dim = 2
     prior = MultivariateNormal(jnp.zeros(dim), jnp.eye(dim))
-    theta = prior.sample(jr.PRNGKey(0), (2500,))
+    theta = prior.sample(jr.PRNGKey(0), (1500,))
     x = diagonal_linear_gaussian(theta, key=jr.PRNGKey(1))
-    est = posterior_nn("zuko_cnf", hidden_features=64, num_steps=24)
+    est = posterior_nn("zuko_cnf", hidden_features=48, num_steps=16)
     inf = NPE(prior=prior, density_estimator=est)
     inf.append_simulations(theta, x)
-    inf.train(training_batch_size=200, epoch_chunk=5, stop_after_epochs=20,
-              max_num_epochs=200)
+    inf.train(training_batch_size=250, epoch_chunk=5, stop_after_epochs=12,
+              max_num_epochs=80)
     posterior = inf.build_posterior()
     x_o = jnp.ones((1, dim))
     samples = posterior.sample((800,), x=x_o, key=jr.PRNGKey(2))
