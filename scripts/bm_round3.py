@@ -11,9 +11,12 @@ Usage: python scripts/bm_round3.py EXPERIMENT [out_csv]
 """
 
 import csv
+import faulthandler
 import os
 import sys
 import time
+
+faulthandler.dump_traceback_later(240, repeat=True)
 
 EPOCH_CHUNK = int(os.environ.get("BM_EPOCH_CHUNK", "10"))
 
