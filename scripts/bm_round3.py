@@ -53,9 +53,15 @@ def _eval_poe(est, stacked_params, prior, bench, i, n=2000,
     x_o = bench.get_observation(i).reshape(4, 2)
 
     def potential(theta):
-        lls = jax.vmap(
-            lambda p: _log_likelihoods_over_trials(x_o, theta, est, params=p)
-        )(stacked_params)  # (K, B)
+        # lax.map (NOT vmap/unroll) over members: the K=16-wide vmapped
+        # NSF inside the FSM while_loop reliably kernel-faults the TPU
+        # worker (as did K=7 unrolled in round 2); a member-serial scan
+        # keeps the program size K-independent. Same medicine as
+        # train_ensemble's scan-outside/vmap-at-step restructure.
+        lls = jax.lax.map(
+            lambda p: _log_likelihoods_over_trials(x_o, theta, est, params=p),
+            stacked_params,
+        )  # (K, B)
         return lls.mean(axis=0) + prior.log_prob(theta)
 
     kw = dict(num_chains=200, warmup_steps=500, thin=5,
@@ -72,7 +78,7 @@ def _eval_poe(est, stacked_params, prior, bench, i, n=2000,
 
 
 def _poe_sample(est, stacked_params, prior, x_o, n, key, mcmc_kw=None,
-                max_per_call=25_000):
+                max_per_call=12_000):
     """Chunked PoE-posterior MCMC draws.
 
     One giant device program (warmup + n/chains sweeps of the K-member
@@ -89,12 +95,13 @@ def _poe_sample(est, stacked_params, prior, x_o, n, key, mcmc_kw=None,
     )
 
     def potential(theta):
-        lls = jax.vmap(
-            lambda p: _log_likelihoods_over_trials(x_o, theta, est, params=p)
-        )(stacked_params)
+        lls = jax.lax.map(  # member-serial: see _eval_poe
+            lambda p: _log_likelihoods_over_trials(x_o, theta, est, params=p),
+            stacked_params,
+        )
         return lls.mean(axis=0) + prior.log_prob(theta)
 
-    kw = dict(num_chains=400, warmup_steps=300, thin=3,
+    kw = dict(num_chains=200, warmup_steps=300, thin=3,
               init_strategy="proposal")
     kw.update(mcmc_kw or {})
     post = MCMCPosterior(
@@ -284,14 +291,15 @@ def run_npe_gl_tuned(num_simulations=10000, model="nsf", **est_kw):
 
 
 EXPERIMENTS = {
-    "poe16_slcp": (lambda: run_poe_vmapped_slcp(20000, n_members=16),
-                   "nle-iid-poe16", "slcp", 20000),
+    "poe16_slcp": (lambda: run_poe_vmapped_slcp(
+        20000, n_members=16, ckpt_dir="/tmp/poe_slcp_ckpt_r1"),
+        "nle-iid-poe16", "slcp", 20000),
     "poe16_slcp_r2": (lambda: run_poe_vmapped_slcp(40000, n_members=16,
                                                    rounds=2),
                       "snle-iid-poe16", "slcp", 40000),
-    "poe32_slcp_r2": (lambda: run_poe_vmapped_slcp(40000, n_members=32,
-                                                   rounds=2),
-                      "snle-iid-poe32", "slcp", 40000),
+    "poe32_slcp_r2": (lambda: run_poe_vmapped_slcp(
+        40000, n_members=32, rounds=2, ckpt_dir="/tmp/poe_slcp_ckpt_k32"),
+        "snle-iid-poe32", "slcp", 40000),
     "npe_gl_tuned": (run_npe_gl_tuned, "npe", "gaussian_linear", 10000),
     "npe_gl_mdn": (lambda: run_npe_gl_tuned(
         30000, model="mdn", num_components=8, hidden_features=128,
