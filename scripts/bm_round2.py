@@ -173,7 +173,7 @@ def run_tsnpe(task, rounds, per_round, obs_list=(0, 1, 2), quantile=1e-4,
 def run_nle_iid_slcp(num_simulations, obs_list=(0, 1, 2), rounds=1,
                      per_round=None, batch_size=200, patience=150,
                      eval_thin=1, eval_chains=200, eval_warmup=300,
-                     **est_kw):
+                     model="nsf", **est_kw):
     """SLCP with the likelihood factorized over its 4 iid 2-D points.
 
     x = 4 iid draws of N(m(theta), S(theta)); training the conditional
@@ -197,7 +197,8 @@ def run_nle_iid_slcp(num_simulations, obs_list=(0, 1, 2), rounds=1,
         sampling time); rounds>1: sequential refinement near obs i."""
         seed_all_backends(i)
         x_o = bench.get_observation(i).reshape(4, 2)
-        est = likelihood_nn("nsf", **est_kw) if est_kw else "nsf"
+        est = likelihood_nn(model, **est_kw) if (est_kw or model != "nsf") \
+            else "nsf"
         inference = NLE_A(prior=prior, density_estimator=est)
         proposal = prior
         per = per_round or num_simulations // rounds
@@ -274,7 +275,8 @@ def run_nle_iid_ens_slcp(num_simulations, n_members=3, obs_list=(0, 1, 2),
         seed_all_backends(1000 + m)
         theta = prior.sample(jr.PRNGKey(500 + m), (per_round,))
         x = bench.simulator(theta, key=jr.PRNGKey(600 + m))
-        est = likelihood_nn("nsf", **est_kw) if est_kw else "nsf"
+        est = likelihood_nn(model, **est_kw) if (est_kw or model != "nsf") \
+            else "nsf"
         inf = NLE_A(prior=prior, density_estimator=est)
         inf.append_simulations(jnp.repeat(theta, 4, axis=0), x.reshape(-1, 2))
         inf.train(training_batch_size=200, epoch_chunk=EPOCH_CHUNK,

@@ -121,7 +121,8 @@ def _poe_sample(est, stacked_params, prior, x_o, n, key, mcmc_kw=None,
 
 def run_poe_vmapped_slcp(per_member, n_members=16, rounds=1,
                          obs_list=(0, 1, 2), patience=100, batch_size=500,
-                         ckpt_dir="/tmp/poe_slcp_ckpt", **est_kw):
+                         ckpt_dir="/tmp/poe_slcp_ckpt", model="nsf",
+                         **est_kw):
     """K-member PoE with disjoint per-member simulation blocks, trained as
     one vmapped program. rounds>1 draws later-round data from the current
     PoE posterior pooled over the benchmark observations (round-2 winner's
@@ -145,7 +146,8 @@ def run_poe_vmapped_slcp(per_member, n_members=16, rounds=1,
     os.makedirs(ckpt_dir, exist_ok=True)
 
     seed_all_backends(0)
-    est_builder = likelihood_nn("nsf", **est_kw) if est_kw else likelihood_nn("nsf")
+    est_builder = likelihood_nn(model, **est_kw) \
+        if (est_kw or model != "nsf") else likelihood_nn("nsf")
     inf = NLE_A(prior=prior, density_estimator=est_builder)
 
     # Round 1: K disjoint fresh blocks (deterministic keys -> reproducible
@@ -300,6 +302,14 @@ EXPERIMENTS = {
     "poe32_slcp_r2": (lambda: run_poe_vmapped_slcp(
         40000, n_members=32, rounds=2, ckpt_dir="/tmp/poe_slcp_ckpt_k32"),
         "snle-iid-poe32", "slcp", 40000),
+    # K=8 Gaussian-head PoE with one refinement round: members are tiny,
+    # so the whole fleet trains as one vmapped program and the PoE
+    # potential stays a small device program (TPU-safe, unlike NSF K=16).
+    "poe8_mdn1_slcp_r2": (lambda: run_poe_vmapped_slcp(
+        30000, n_members=8, rounds=2, model="mdn", num_components=1,
+        scale_parameterization="log", num_layers=4, hidden_features=128,
+        ckpt_dir="/tmp/poe_mdn1_ckpt"),
+        "snle-gauss-poe8", "slcp", 30000),
     "npe_gl_tuned": (run_npe_gl_tuned, "npe", "gaussian_linear", 10000),
     "npe_gl_mdn": (lambda: run_npe_gl_tuned(
         30000, model="mdn", num_components=8, hidden_features=128,
@@ -307,21 +317,45 @@ EXPERIMENTS = {
     "npe_gl_maf": (lambda: run_npe_gl_tuned(
         30000, model="maf", hidden_features=100, num_transforms=8),
         "npe-maf", "gaussian_linear", 30000),
+    # SLCP's per-trial likelihood is EXACTLY N(m(theta), S(theta)) — a
+    # K=1 log-parameterized full-covariance MoG head is correctly
+    # specified, so fit error is only the theta->(mean, chol) MLP.
+    "nle_mdn1_slcp": (lambda: _bm2().run_nle_iid_slcp(
+        30000, model="mdn", num_components=1, scale_parameterization="log",
+        num_layers=4, hidden_features=128, eval_thin=5),
+        "nle-gauss", "slcp", 30000),
+    "snle_mdn1_slcp": (lambda: _bm2().run_nle_iid_slcp(
+        30000, rounds=3, model="mdn", num_components=1,
+        scale_parameterization="log", num_layers=5, hidden_features=256,
+        eval_thin=5), "snle-gauss", "slcp", 30000),
     "npse_tm_r3": (lambda: _run_npse_tm(), "npse", "two_moons", 30000),
     "fmpe_tm_r3": (lambda: _run_fmpe_tm(), "fmpe", "two_moons", 30000),
 }
 
 
+_BM2 = None
+
+
+def _bm2():
+    """Load scripts/bm_round2.py as a module (shared experiment runners)."""
+    global _BM2
+    if _BM2 is None:
+        import importlib.util as _u
+
+        spec = _u.spec_from_file_location(
+            "bm_round2",
+            os.path.join(os.path.dirname(__file__), "bm_round2.py"),
+        )
+        m = _u.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        _BM2 = m
+    return _BM2
+
+
 def _run_npse_tm():
     """NPSE retune with the round-3 EMA/statistical convergence (VERDICT
     item 3 'Done' target: two_moons <=0.60, stretch <=0.55)."""
-    import importlib.util as _u
-
-    spec = _u.spec_from_file_location(
-        "bm_round2", os.path.join(os.path.dirname(__file__), "bm_round2.py")
-    )
-    m = _u.module_from_spec(spec)
-    spec.loader.exec_module(m)
+    m = _bm2()
     return m.run_amortized(
         "two_moons", "npse", 30000, batch_size=200, patience=50,
         sample_kw=dict(steps=1000, corrector="langevin"),
@@ -330,13 +364,7 @@ def _run_npse_tm():
 
 
 def _run_fmpe_tm():
-    import importlib.util as _u
-
-    spec = _u.spec_from_file_location(
-        "bm_round2", os.path.join(os.path.dirname(__file__), "bm_round2.py")
-    )
-    m = _u.module_from_spec(spec)
-    spec.loader.exec_module(m)
+    m = _bm2()
     return m.run_amortized(
         "two_moons", "fmpe", 30000, batch_size=200, patience=50,
         model="ada_mlp", hidden_features=256, num_layers=6,

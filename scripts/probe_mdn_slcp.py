@@ -44,6 +44,23 @@ if MODEL == "mdn":
         "mdn", num_components=4, scale_parameterization="log",
         num_layers=3, hidden_features=64,
     )
+elif MODEL == "mdn1":
+    # SLCP's x|theta is EXACTLY Gaussian per trial -> K=1 is correctly
+    # specified; fit error is purely in the theta -> (mean, chol) MLP.
+    est_builder = likelihood_nn(
+        "mdn", num_components=1, scale_parameterization="log",
+        num_layers=4, hidden_features=128,
+    )
+elif MODEL == "mdn1_big":
+    est_builder = likelihood_nn(
+        "mdn", num_components=1, scale_parameterization="log",
+        num_layers=5, hidden_features=256,
+    )
+elif MODEL == "mdn2":
+    est_builder = likelihood_nn(
+        "mdn", num_components=2, scale_parameterization="log",
+        num_layers=4, hidden_features=128,
+    )
 elif MODEL == "nsf":
     est_builder = likelihood_nn("nsf")
 elif MODEL == "maf":
