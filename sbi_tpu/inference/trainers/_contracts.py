@@ -29,6 +29,12 @@ class TrainConfig:
     (reference parity). Larger values amortize host<->device roundtrips
     (the dominant cost on TPU); early stopping and best-params restore then
     operate at chunk granularity."""
+    ema_params_decay: Optional[float] = None
+    """If set (e.g. 0.999), maintain an exponential moving average of the
+    PARAMETERS on-device and use it for best-val snapshots / the final
+    estimator — the standard stabilizer for score/flow-matching nets whose
+    raw iterates jitter. No reference counterpart (the reference keeps raw
+    iterates); opt-in, used by the VF trainers."""
 
     def __post_init__(self):
         if self.training_batch_size <= 0:
@@ -45,6 +51,10 @@ class TrainConfig:
             raise ValueError("clip_max_norm must be positive or None.")
         if self.epoch_chunk < 1:
             raise ValueError("epoch_chunk must be >= 1.")
+        if self.ema_params_decay is not None and not (
+            0.0 < self.ema_params_decay < 1.0
+        ):
+            raise ValueError("ema_params_decay must be in (0, 1) or None.")
 
 
 @dataclass

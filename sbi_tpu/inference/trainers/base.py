@@ -25,7 +25,7 @@ import pickle
 import time
 import warnings
 from abc import ABC, abstractmethod
-from typing import Any, Callable, Dict, Optional, Tuple, Union
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +42,46 @@ from ...utils.tracking import InMemoryTracker, Tracker
 from ._contracts import TrainConfig
 
 Array = jax.Array
+
+
+class EmaParamsState(NamedTuple):
+    """State of :func:`params_ema_transform` — the EMA'd parameter pytree."""
+
+    ema: Any
+
+
+def params_ema_transform(decay: float) -> optax.GradientTransformation:
+    """Optax transform that tracks an EMA of the *post-update parameters*.
+
+    Passes gradients through untouched; its state carries
+    ``ema <- decay * ema + (1 - decay) * (params + updates)``. Appended to
+    the optimizer chain (so it runs inside the fused epoch scan) when
+    ``TrainConfig.ema_params_decay`` is set; the trainer reads the EMA back
+    out of ``opt_state`` for snapshots via :func:`extract_ema_params`.
+    """
+
+    def init_fn(params):
+        return EmaParamsState(ema=params)
+
+    def update_fn(updates, state, params=None):
+        new_params = optax.apply_updates(params, updates)
+        ema = jax.tree_util.tree_map(
+            lambda e, p: decay * e + (1.0 - decay) * p, state.ema, new_params
+        )
+        return updates, EmaParamsState(ema=ema)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def extract_ema_params(opt_state) -> Optional[Any]:
+    """Pull the EMA parameter pytree out of a chained optax state (None if
+    no :func:`params_ema_transform` is in the chain)."""
+    for s in jax.tree_util.tree_leaves(
+        opt_state, is_leaf=lambda x: isinstance(x, EmaParamsState)
+    ):
+        if isinstance(s, EmaParamsState):
+            return s.ema
+    return None
 
 
 def infer(
@@ -222,6 +262,7 @@ class NeuralInference(ABC):
         val_idx_j = jnp.asarray(val_idx)
 
         chunk = max(1, cfg.epoch_chunk)
+        use_param_ema = cfg.ema_params_decay is not None
 
         def one_epoch(carry, epoch_key):
             p, s, theta, x, masks = carry
@@ -245,8 +286,11 @@ class NeuralInference(ABC):
                 return (p2, s2), loss
 
             (p, s), losses = jax.lax.scan(body, (p, s), (idx, keys))
+            # Validate the same params a snapshot would keep: the EMA pytree
+            # when param-EMA is active (smoother val => stabler early stop).
+            p_eval = extract_ema_params(s) if use_param_ema else None
             val = (val_loss_fn or loss_fn)(
-                p,
+                p if p_eval is None else p_eval,
                 jax.random.fold_in(epoch_key, 2),
                 theta[val_idx_j],
                 x[val_idx_j],
@@ -318,7 +362,9 @@ class NeuralInference(ABC):
             # within one chunk. (Measured on two_moons/NSF@2k: chunked
             # best-val snapshots cost no C2ST vs chunk=1 at equal patience.)
             if self._converged_chunk(
-                val_losses[:n_this], params, cfg.stop_after_epochs
+                val_losses[:n_this],
+                self._snapshot_params(params, opt_state),
+                cfg.stop_after_epochs,
             ):
                 stop = True
             if self._epoch - epoch_start >= cfg.max_num_epochs:
@@ -610,7 +656,16 @@ class NeuralInference(ABC):
         if cfg.clip_max_norm is not None:
             chain.append(optax.clip_by_global_norm(cfg.clip_max_norm))
         chain.append(optax.adam(cfg.learning_rate))
+        if cfg.ema_params_decay is not None:
+            chain.append(params_ema_transform(cfg.ema_params_decay))
         return optax.chain(*chain)
+
+    def _snapshot_params(self, params, opt_state):
+        """Parameters to use for best-val snapshots / the final estimator:
+        the EMA pytree when ``ema_params_decay`` is active, else the raw
+        iterates."""
+        ema = extract_ema_params(opt_state)
+        return ema if ema is not None else params
 
     def _postprocess_epoch_losses(self, train_losses, val_losses):
         """Hook applied on host to each chunk's per-epoch loss arrays before

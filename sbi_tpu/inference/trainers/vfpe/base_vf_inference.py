@@ -74,6 +74,7 @@ class VectorFieldTrainer(NeuralInference):
         max_num_epochs: int = 2**31 - 1,
         clip_max_norm: Optional[float] = 5.0,
         ema_loss_decay: float = 0.1,
+        ema_params_decay: Optional[float] = 0.999,
         validation_times: int = 10,
         validation_times_nugget: float = 0.05,
         resume_training: bool = False,
@@ -92,6 +93,12 @@ class VectorFieldTrainer(NeuralInference):
             decay ``ema_loss_decay``;
           - the statistical convergence test in :meth:`_converged_chunk`
             (patience counts epochs > 2 sigma above the best EMA loss).
+
+        Additionally (no reference counterpart; opt out with
+        ``ema_params_decay=None``): an on-device exponential moving average
+        of the PARAMETERS is what gets validated, snapshotted, and returned —
+        the standard stabilizer for score/FM nets whose raw SGD iterates
+        jitter around the optimum.
         """
         cfg = TrainConfig(
             training_batch_size=training_batch_size,
@@ -104,6 +111,7 @@ class VectorFieldTrainer(NeuralInference):
             retrain_from_scratch=retrain_from_scratch,
             show_train_summary=show_train_summary,
             epoch_chunk=int(kwargs.get("epoch_chunk", 1)),
+            ema_params_decay=ema_params_decay,
         )
         key = next_key(key)
         theta, x, _ = self.get_simulations(0)

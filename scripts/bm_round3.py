@@ -307,9 +307,23 @@ EXPERIMENTS = {
     # potential stays a small device program (TPU-safe, unlike NSF K=16).
     "poe8_mdn1_slcp_r2": (lambda: run_poe_vmapped_slcp(
         30000, n_members=8, rounds=2, model="mdn", num_components=1,
-        scale_parameterization="log", num_layers=4, hidden_features=128,
+        scale_parameterization="log", num_layers=5, hidden_features=256,
         ckpt_dir="/tmp/poe_mdn1_ckpt"),
         "snle-gauss-poe8", "slcp", 30000),
+    # Massive-simulation amortized runs: SLCP simulation is a 2-D Gaussian
+    # draw (free on TPU), and the likelihood-fit error that caps C2ST is
+    # driven by theta-space data density (120k pairs over [-3,3]^5 is ~10
+    # points/axis). 1e6 sims = 4e6 pairs = 16x denser coverage; training
+    # rides the MXU at batch 4096.
+    "nle_gauss_1m": (lambda: _bm2().run_nle_iid_slcp(
+        1_000_000, model="mdn", num_components=2,
+        scale_parameterization="log", num_layers=5, hidden_features=256,
+        batch_size=4096, patience=30, eval_thin=5),
+        "nle-gauss-1m", "slcp", 1_000_000),
+    "nle_iid_1m": (lambda: _bm2().run_nle_iid_slcp(
+        1_000_000, hidden_features=128, num_transforms=8, num_bins=16,
+        batch_size=4096, patience=30, eval_thin=5),
+        "nle-iid-1m", "slcp", 1_000_000),
     "npe_gl_tuned": (run_npe_gl_tuned, "npe", "gaussian_linear", 10000),
     "npe_gl_mdn": (lambda: run_npe_gl_tuned(
         30000, model="mdn", num_components=8, hidden_features=128,

@@ -61,6 +61,16 @@ elif MODEL == "mdn2":
         "mdn", num_components=2, scale_parameterization="log",
         num_layers=4, hidden_features=128,
     )
+elif MODEL == "mdn2_big":
+    est_builder = likelihood_nn(
+        "mdn", num_components=2, scale_parameterization="log",
+        num_layers=5, hidden_features=256,
+    )
+elif MODEL == "mdn4_big":
+    est_builder = likelihood_nn(
+        "mdn", num_components=4, scale_parameterization="log",
+        num_layers=5, hidden_features=256,
+    )
 elif MODEL == "nsf":
     est_builder = likelihood_nn("nsf")
 elif MODEL == "maf":

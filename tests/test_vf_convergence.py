@@ -3,6 +3,7 @@
 EMA loss summarization, fixed validation times, statistical 2-sigma test.
 """
 
+import jax
 import jax.numpy as jnp
 import jax.random as jr
 import numpy as np
@@ -84,3 +85,33 @@ def test_validation_times_accepted():
               validation_times=4, validation_times_nugget=0.1,
               ema_loss_decay=0.3)
     assert len(inf.summary["validation_loss"]) >= 3
+
+
+def test_param_ema_snapshot_and_optout():
+    """With ema_params_decay set (VF default), the trained estimator's
+    params are the on-device EMA pytree, not the raw final iterates; with
+    None the chain carries no EMA state."""
+    from sbi_tpu.inference.trainers.base import extract_ema_params
+
+    seed_all_backends(0)
+    prior = BoxUniform(-jnp.ones(2), jnp.ones(2))
+    theta = prior.sample(jr.PRNGKey(0), (400,))
+    x = theta + 0.1 * jr.normal(jr.PRNGKey(1), theta.shape)
+
+    inf = FMPE(prior=prior)
+    inf.append_simulations(theta, x)
+    inf.train(max_num_epochs=8, stop_after_epochs=8, epoch_chunk=4,
+              ema_params_decay=0.9)
+    ema = extract_ema_params(inf._opt_state)
+    assert ema is not None
+    # val improved every epoch here, so the best snapshot IS the final EMA.
+    for a, b in zip(
+        jax.tree_util.tree_leaves(inf._neural_net.params),
+        jax.tree_util.tree_leaves(ema),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    inf2 = FMPE(prior=prior)
+    inf2.append_simulations(theta, x)
+    inf2.train(max_num_epochs=2, ema_params_decay=None)
+    assert extract_ema_params(inf2._opt_state) is None
