@@ -208,6 +208,59 @@ class EnsemblePosterior(NeuralPosterior):
         )[0]  # (num, B, D)
         return picked.reshape(tuple(sample_shape) + picked.shape[1:])
 
+    def weight_by_evidence(
+        self,
+        x: Optional[Array] = None,
+        num_samples: int = 100_000,
+        key=None,
+        chunk_size: int = 32_768,
+    ) -> Array:
+        """Bayesian-model-average weighting: set the member weights to
+        ``w_k ∝ p̂_k(x_o)``, the per-member model evidence at the current
+        observation, estimated by prior-sample Monte Carlo
+        ``Ẑ_k = mean_j exp(log p̂_k(x_o | θ_j))`` with ``θ_j ~ π``.
+
+        Only meaningful for members whose potential is likelihood-based
+        (``potential(θ) = log p̂(x_o|θ) + log π(θ)``, so the likelihood is
+        recovered by subtracting the prior log-density); with heterogeneous
+        member FAMILIES (e.g. flows and Gaussian heads whose fit quality
+        varies by region), evidence weighting routes posterior mass to the
+        family that actually explains ``x_o``. No reference counterpart
+        (the reference supports only user-supplied static weights,
+        `ensemble_posterior.py:19`).
+
+        Returns the per-member log-evidence estimates ``(K,)`` and updates
+        ``self.weights`` (and the combined potential's weights) in place.
+        """
+        key = next_key(key)
+        if x is not None:
+            self.set_default_x(x)
+        prior = getattr(self.potential_fn, "prior", None)
+        assert prior is not None, "Evidence weighting needs a prior."
+        logzs = []
+        n_chunks = max(1, -(-num_samples // chunk_size))
+        for k_i, p in enumerate(self._ensemble_potentials()):
+            parts = []
+            for c in range(n_chunks):
+                n_c = min(chunk_size, num_samples - c * chunk_size)
+                th = prior.sample(
+                    jax.random.fold_in(jax.random.fold_in(key, k_i), c),
+                    (n_c,),
+                )
+                ll = p(th) - prior.log_prob(th)  # (n_c,)
+                parts.append(jax.scipy.special.logsumexp(ll))
+            logz = jax.scipy.special.logsumexp(
+                jnp.stack(parts)
+            ) - jnp.log(float(num_samples))
+            logzs.append(logz)
+        logz = jnp.stack(logzs)
+        self._weights = jax.nn.softmax(logz)
+        self.potential_fn._weights = self._weights
+        return logz
+
+    def _ensemble_potentials(self):
+        return self.potential_fn._potentials
+
     def log_prob(self, theta, x=None, individually: bool = False, **kwargs):
         """mixture: log of the weighted member mixture (normalized if the
         members are). product: weighted MEAN of member log-probs — the

@@ -324,6 +324,15 @@ EXPERIMENTS = {
         1_000_000, hidden_features=128, num_transforms=8, num_bins=16,
         batch_size=4096, patience=30, eval_thin=5),
         "nle-iid-1m", "slcp", 1_000_000),
+    # The 1M single model showed large REGION-level fit variance (same
+    # arch/data-scale swings obs1 c2st 0.62 <-> 0.80 across runs while
+    # obs2 hits 0.52): exactly what PoE over independently-fit members
+    # cancels. 8 disjoint 125k blocks, one vmapped training program.
+    "poe8_mdn_1m": (lambda: run_poe_vmapped_slcp(
+        125_000, n_members=8, rounds=1, model="mdn", num_components=2,
+        scale_parameterization="log", num_layers=5, hidden_features=256,
+        batch_size=1024, ckpt_dir="/tmp/poe_mdn1m_ckpt"),
+        "nle-gauss-poe8-1m", "slcp", 1_000_000),
     "npe_gl_tuned": (run_npe_gl_tuned, "npe", "gaussian_linear", 10000),
     "npe_gl_mdn": (lambda: run_npe_gl_tuned(
         30000, model="mdn", num_components=8, hidden_features=128,

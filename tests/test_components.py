@@ -228,6 +228,42 @@ def test_ensemble_product_of_experts(lg_data):
     assert jnp.allclose(lp, member, atol=1e-4)
 
 
+def test_ensemble_weight_by_evidence(lg_data):
+    """`weight_by_evidence` (no reference counterpart — the reference only
+    takes static user weights, `ensemble_posterior.py:19`): with one member
+    trained on the true simulator and one on a misspecified (shifted)
+    simulator, the Monte-Carlo model evidence at x_o must route the mixture
+    weight to the well-specified member. (An *undertrained* member is NOT
+    punished — a net that learns only the marginal p(x) has the same
+    evidence as the true model — so the test uses miscalibration.)"""
+    from sbi_tpu.inference import NLE_A, EnsemblePosterior
+    from sbi_tpu.simulators.linear_gaussian import linear_gaussian as lg_sim
+
+    prior, theta, x = lg_data
+    x_bad = lg_sim(
+        theta, SHIFT + 3.0, jnp.eye(D), key=jax.random.PRNGKey(11)
+    )
+    posteriors = []
+    for seed, xs in ((3, x), (4, x_bad)):
+        seed_all_backends(seed)
+        inf = NLE_A(prior=prior)
+        inf.append_simulations(theta, xs)
+        inf.train(max_num_epochs=40, training_batch_size=200)
+        posteriors.append(inf.build_posterior())
+    ens = EnsemblePosterior(posteriors)
+    logz = ens.weight_by_evidence(
+        x=jnp.zeros(D), num_samples=4000, key=jax.random.PRNGKey(0)
+    )
+    assert logz.shape == (2,)
+    assert bool(jnp.isfinite(logz).all())
+    w = np.asarray(ens.weights)
+    # analytic evidence gap for a 3-sigma shift in 2-D is ~1.5 nats
+    # => softmax weight ~0.82 for the well-specified member
+    assert w[0] > 0.7, w
+    # the combined potential sees the same weights
+    assert np.allclose(np.asarray(ens.potential_fn._weights), w)
+
+
 @pytest.mark.slow
 def test_mnle_c2st_vs_grid_analytic_posterior():
     """MNLE C2ST integration test vs an ANALYTIC posterior (round-2 VERDICT
