@@ -333,6 +333,14 @@ EXPERIMENTS = {
         scale_parameterization="log", num_layers=5, hidden_features=256,
         batch_size=1024, ckpt_dir="/tmp/poe_mdn1m_ckpt"),
         "nle-gauss-poe8-1m", "slcp", 1_000_000),
+    # Double both axes of poe8 (members AND per-member data): the
+    # sampler floor on the exact likelihood is 0.49; poe8@1M reached
+    # 0.522, so keep cancelling member error until the floor.
+    "poe16_mdn_2m": (lambda: run_poe_vmapped_slcp(
+        125_000, n_members=16, rounds=1, model="mdn", num_components=2,
+        scale_parameterization="log", num_layers=5, hidden_features=256,
+        batch_size=1024, ckpt_dir="/tmp/poe_mdn2m_ckpt"),
+        "nle-gauss-poe16-2m", "slcp", 2_000_000),
     "npe_gl_tuned": (run_npe_gl_tuned, "npe", "gaussian_linear", 10000),
     "npe_gl_mdn": (lambda: run_npe_gl_tuned(
         30000, model="mdn", num_components=8, hidden_features=128,
