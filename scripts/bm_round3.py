@@ -341,6 +341,14 @@ EXPERIMENTS = {
         scale_parameterization="log", num_layers=5, hidden_features=256,
         batch_size=1024, ckpt_dir="/tmp/poe_mdn2m_ckpt"),
         "nle-gauss-poe16-2m", "slcp", 2_000_000),
+    # Sequential refinement on top of poe16: round 1 re-simulates from
+    # the pooled PoE posterior, concentrating member capacity where the
+    # posterior lives (round-2's winning schedule, now vmapped).
+    "poe16_mdn_seq": (lambda: run_poe_vmapped_slcp(
+        250_000, n_members=16, rounds=2, model="mdn", num_components=2,
+        scale_parameterization="log", num_layers=5, hidden_features=256,
+        batch_size=1024, ckpt_dir="/tmp/poe_mdnseq_ckpt"),
+        "snle-gauss-poe16-seq", "slcp", 4_000_000),
     "npe_gl_tuned": (run_npe_gl_tuned, "npe", "gaussian_linear", 10000),
     "npe_gl_mdn": (lambda: run_npe_gl_tuned(
         30000, model="mdn", num_components=8, hidden_features=128,
