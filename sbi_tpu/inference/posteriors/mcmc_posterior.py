@@ -188,11 +188,14 @@ class MCMCPosterior(NeuralPosterior):
         inits = self._get_initial_params(num_chains, key=k_init)
         pot_u = self._prepare_potential(method)
         per_chain = max(1, math.ceil(num_samples / num_chains))
+        # Bounded-program mode (slice methods only): see slice_fsm.py.
+        max_sweeps = kwargs.pop("max_sweeps_per_program", None)
 
         if method == "slice_jax_vectorized" or method == "slice_jax":
             draws_u = run_slice_vectorized(
                 pot_u, inits, num_samples=per_chain, thin=thin,
                 warmup_steps=warmup_steps, key=k_run,
+                max_sweeps_per_program=max_sweeps,
             )
         elif method == "hmc":
             draws_u = run_hmc(
@@ -277,6 +280,7 @@ class MCMCPosterior(NeuralPosterior):
         draws_u = run_slice_vectorized_fsm(
             pot_u, inits_u, num_samples=per_chain,
             thin=self.thin, warmup_steps=self.warmup_steps, key=k_run,
+            max_sweeps_per_program=kwargs.pop("max_sweeps_per_program", None),
         )  # (per_chain, B*num_chains, D)
         D = draws_u.shape[-1]
         draws = self.theta_transform.inverse(draws_u.reshape(-1, D)).reshape(

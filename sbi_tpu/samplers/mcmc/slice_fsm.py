@@ -29,7 +29,7 @@ TPU performance notes:
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Optional
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -247,31 +247,169 @@ def run_slice_vectorized_fsm(
     max_shrink: int = 100,
     tune_width: bool = True,
     key: Optional[Array] = None,
+    max_sweeps_per_program: Optional[int] = None,
 ) -> Array:
     """Run C chains; return (num_samples, C, D) draws (post warmup+thinning).
 
     potential_fn: batched (C, D) -> (C,), pure/jittable. Repeated calls with
     the same potential_fn object and shapes reuse the compiled program.
+
+    max_sweeps_per_program bounds the size of any single device program:
+    warmup runs once (its own program), then the recording sweeps are taken
+    in chunks of at most that many sweeps, with chain state carried between
+    programs (see `slice_fsm_warmup`/`slice_fsm_advance`). Use for very
+    expensive potentials (e.g. product-of-experts ensembles) where one
+    monolithic program would run for minutes on-device.
     """
     key = next_key(key)
     inits = jnp.asarray(inits, jnp.float32)
     C, D = inits.shape
     widths0 = jnp.broadcast_to(jnp.asarray(init_width, jnp.float32), (D,))
 
-    n_warm_record = max(warmup_steps // 2, 1) if warmup_steps > 0 else 0
-    n_warm_skip = warmup_steps - n_warm_record if warmup_steps > 0 else 0
-    draws = _run_fsm(
-        key,
-        widths0,
-        inits,
-        jnp.int32(n_warm_skip),
-        potential_fn=potential_fn,
-        n_warm_record=n_warm_record,
-        n_record=num_samples * thin,
-        max_steps_out=max_steps_out,
-        max_shrink=max_shrink,
-        tune_width=tune_width,
-    )
+    n_total = num_samples * thin
+    if max_sweeps_per_program is not None and n_total > max_sweeps_per_program:
+        k_w, k_m = jax.random.split(key)
+        state = slice_fsm_warmup(
+            potential_fn, inits, warmup_steps=warmup_steps,
+            init_width=init_width, max_steps_out=max_steps_out,
+            max_shrink=max_shrink, tune_width=tune_width, key=k_w,
+        )
+        # Equal-size chunks so every chunk reuses ONE compiled program
+        # (a ragged tail would compile a second XLA executable).
+        chunk = max_sweeps_per_program
+        n_chunks = -(-n_total // chunk)
+        parts = []
+        for c in range(n_chunks):
+            draws_c, state = slice_fsm_advance(
+                potential_fn, state, chunk, max_steps_out=max_steps_out,
+                max_shrink=max_shrink, key=jax.random.fold_in(k_m, c),
+            )
+            parts.append(draws_c)
+        draws = jnp.concatenate(parts)[:n_total]
+    else:
+        n_warm_record = max(warmup_steps // 2, 1) if warmup_steps > 0 else 0
+        n_warm_skip = warmup_steps - n_warm_record if warmup_steps > 0 else 0
+        draws = _run_fsm(
+            key,
+            widths0,
+            inits,
+            jnp.int32(n_warm_skip),
+            potential_fn=potential_fn,
+            n_warm_record=n_warm_record,
+            n_record=n_total,
+            max_steps_out=max_steps_out,
+            max_shrink=max_shrink,
+            tune_width=tune_width,
+        )
     if thin > 1:
         draws = draws[thin - 1::thin]
     return draws[:num_samples]
+
+
+# --- Resumable chain state ---------------------------------------------------
+#
+# The monolithic program above is fastest when it fits, but very expensive
+# potentials (PoE ensembles, large iid-trial batches) can push a single
+# XLA program into minutes of device time, where a worker preemption or
+# kernel fault loses everything. These entry points expose the FSM's
+# natural chain state (positions + tuned widths) so callers can warm up
+# ONCE and then advance in bounded device programs. No reference
+# counterpart (`slice_numpy.py` is host-stepped and trivially resumable).
+
+
+class SliceFSMState(NamedTuple):
+    """Carried chain state: positions (C, D) and slice widths (D,)."""
+
+    x: Array
+    widths: Array
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "potential_fn", "n_warm_record", "max_steps_out", "max_shrink",
+        "tune_width",
+    ),
+)
+def _warmup_fsm(
+    key, widths0, inits, n_warm_skip, *, potential_fn, n_warm_record,
+    max_steps_out, max_shrink, tune_width,
+):
+    C, D = inits.shape
+    per_sweep_cap = D * (2 * max_steps_out + max_shrink + 4)
+    warm_cap = (n_warm_record + 1) * 2 * per_sweep_cap
+    warm, x_cur = _fsm_phase(
+        potential_fn, key, widths0, inits, n_warm_record, n_warm_skip,
+        max_steps_out, max_shrink, warm_cap,
+    )
+    if tune_width:
+        widths = 2.0 * jnp.std(warm.reshape(-1, D), axis=0) + 1e-3
+    else:
+        widths = widths0
+    return x_cur, widths
+
+
+def slice_fsm_warmup(
+    potential_fn: Callable[[Array], Array],
+    inits: Array,
+    warmup_steps: int = 200,
+    init_width: float | Array = 1.0,
+    max_steps_out: int = 50,
+    max_shrink: int = 100,
+    tune_width: bool = True,
+    key: Optional[Array] = None,
+) -> SliceFSMState:
+    """Warm up C chains (one device program) and return resumable state."""
+    key = next_key(key)
+    inits = jnp.asarray(inits, jnp.float32)
+    C, D = inits.shape
+    widths0 = jnp.broadcast_to(jnp.asarray(init_width, jnp.float32), (D,))
+    n_warm_record = max(warmup_steps // 2, 1) if warmup_steps > 0 else 0
+    n_warm_skip = warmup_steps - n_warm_record if warmup_steps > 0 else 0
+    x_cur, widths = _warmup_fsm(
+        key, widths0, inits, jnp.int32(n_warm_skip),
+        potential_fn=potential_fn, n_warm_record=n_warm_record,
+        max_steps_out=max_steps_out, max_shrink=max_shrink,
+        tune_width=tune_width,
+    )
+    return SliceFSMState(x=x_cur, widths=widths)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("potential_fn", "n_record", "max_steps_out", "max_shrink"),
+)
+def _advance_fsm(
+    key, x, widths, *, potential_fn, n_record, max_steps_out, max_shrink
+):
+    C, D = x.shape
+    per_sweep_cap = D * (2 * max_steps_out + max_shrink + 4)
+    cap = (n_record + 1) * per_sweep_cap
+    return _fsm_phase(
+        potential_fn, key, widths, x, n_record, jnp.int32(0),
+        max_steps_out, max_shrink, cap,
+    )
+
+
+def slice_fsm_advance(
+    potential_fn: Callable[[Array], Array],
+    state: SliceFSMState,
+    num_sweeps: int,
+    max_steps_out: int = 50,
+    max_shrink: int = 100,
+    key: Optional[Array] = None,
+):
+    """Advance warmed chains by `num_sweeps` in ONE bounded device program.
+
+    Returns `(draws, new_state)` with draws of shape (num_sweeps, C, D);
+    thinning is the caller's concern (slice the concatenated stream).
+    Calls with the same (potential_fn, shapes, num_sweeps) reuse one
+    compiled executable.
+    """
+    key = next_key(key)
+    draws, x_new = _advance_fsm(
+        key, state.x, state.widths, potential_fn=potential_fn,
+        n_record=num_sweeps, max_steps_out=max_steps_out,
+        max_shrink=max_shrink,
+    )
+    return draws, SliceFSMState(x=x_new, widths=state.widths)

@@ -118,6 +118,7 @@ def run_slice_vectorized(
     max_shrink: int = 100,
     tune_width: bool = True,
     key: Optional[Array] = None,
+    max_sweeps_per_program: Optional[int] = None,
 ) -> Array:
     """Vectorized slice sampling; returns (num_samples_per_chain, C, D).
 
@@ -132,6 +133,7 @@ def run_slice_vectorized(
         potential_fn, inits, num_samples, thin=thin, warmup_steps=warmup_steps,
         init_width=init_width, max_steps_out=max_steps_out,
         max_shrink=max_shrink, tune_width=tune_width, key=key,
+        max_sweeps_per_program=max_sweeps_per_program,
     )
 
 

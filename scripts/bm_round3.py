@@ -108,15 +108,13 @@ def _poe_sample(est, stacked_params, prior, x_o, n, key, mcmc_kw=None,
         CustomPotentialWrapper(potential, prior=prior),
         proposal=prior, **kw,
     ).set_default_x(x_o)
-    out = []
-    remaining = n
-    c = 0
-    while remaining > 0:
-        take = min(remaining, max_per_call)
-        out.append(post.sample((take,), key=jr.fold_in(key, c)))
-        remaining -= take
-        c += 1
-    return jnp.concatenate(out, axis=0)
+    # Bounded device programs WITHOUT re-warmup per chunk: the FSM's
+    # resumable-state mode warms up once and advances in
+    # max_sweeps_per_program-sweep programs (slice_fsm.py). 256 sweeps of
+    # the K-member potential is well under the program size that faulted
+    # the TPU worker (the old workaround re-ran 300-sweep warmups per
+    # 12k-draw chunk; this mode pays warmup once).
+    return post.sample((n,), key=key, max_sweeps_per_program=256)
 
 
 def run_poe_vmapped_slcp(per_member, n_members=16, rounds=1,

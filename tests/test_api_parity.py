@@ -133,3 +133,53 @@ def test_examples_minimal():
     assert posterior is not None
     posterior2 = flexible()
     assert posterior2 is not None
+
+
+def test_behavior_defining_defaults_match_reference():
+    """SURVEY.md Appendix B: the defaults that define training/sampling
+    behavior must equal the reference's (npe_base.py:244-250, flow.py:
+    114-346, mdn.py:29-30, mcmc_posterior.py:57-121, direct_posterior.py:
+    48, vector_field_posterior.py:311)."""
+    import inspect
+
+    from sbi_tpu.inference import NLE_A, NPE, NPSE, NRE_A
+    from sbi_tpu.inference.posteriors.direct_posterior import DirectPosterior
+    from sbi_tpu.inference.posteriors.mcmc_posterior import MCMCPosterior
+    from sbi_tpu.inference.trainers.npe.npe_base import (
+        PosteriorEstimatorTrainer,
+    )
+    from sbi_tpu.neural_nets.factory import posterior_nn
+    from sbi_tpu.neural_nets.net_builders.flow import build_maf, build_nsf
+    from sbi_tpu.neural_nets.net_builders.mdn import build_mdn
+
+    def defaults(fn, *names):
+        sig = inspect.signature(fn)
+        return tuple(sig.parameters[n].default for n in names)
+
+    assert defaults(
+        PosteriorEstimatorTrainer.train, "training_batch_size",
+        "learning_rate", "validation_fraction", "stop_after_epochs",
+        "max_num_epochs", "clip_max_norm",
+    ) == (200, 5e-4, 0.1, 20, 2**31 - 1, 5.0)
+    assert defaults(NPE.__init__, "density_estimator") == ("maf",)
+    assert defaults(NLE_A.__init__, "density_estimator") == ("maf",)
+    assert defaults(NRE_A.__init__, "classifier") == ("resnet",)
+    assert defaults(NPSE.__init__, "sde_type") == ("ve",)
+    assert defaults(
+        build_nsf, "hidden_features", "num_transforms", "num_bins",
+        "tail_bound", "num_blocks",
+    ) == (50, 5, 10, 3.0, 2)
+    assert defaults(
+        build_maf, "hidden_features", "num_transforms", "num_blocks"
+    ) == (50, 5, 2)
+    assert defaults(build_mdn, "hidden_features", "num_components") == (50, 10)
+    assert defaults(
+        MCMCPosterior.__init__, "thin", "warmup_steps", "num_chains",
+        "init_strategy",
+    ) == (-1, 200, 20, "resample")
+    assert defaults(
+        DirectPosterior.__init__, "max_sampling_batch_size"
+    ) == (10_000,)
+    assert defaults(posterior_nn, "z_score_theta", "z_score_x") == (
+        "independent", "independent",
+    )

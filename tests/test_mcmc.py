@@ -184,3 +184,55 @@ def test_arviz_inference_data_gating():
     except ImportError:
         with pytest.raises(ImportError, match="arviz"):
             post.get_arviz_inference_data()
+
+
+def test_fsm_resumable_state_and_bounded_programs():
+    """Resumable FSM chains (no reference counterpart — `slice_numpy.py` is
+    host-stepped): warmup ONCE, advance in bounded device programs, and the
+    concatenated stream must match the monolithic program statistically.
+    `max_sweeps_per_program` on the high-level entry does the same chunking
+    internally (the bounded-program mode for very expensive potentials)."""
+    from sbi_tpu.samplers.mcmc.slice_fsm import (
+        slice_fsm_advance,
+        slice_fsm_warmup,
+    )
+
+    inits = jax.random.normal(jax.random.PRNGKey(0), (50, 2))
+
+    # explicit state API
+    state = slice_fsm_warmup(logp, inits, warmup_steps=100,
+                             key=jax.random.PRNGKey(1))
+    assert state.x.shape == (50, 2) and state.widths.shape == (2,)
+    parts = []
+    for c in range(3):
+        draws, state2 = slice_fsm_advance(
+            logp, state, 100, key=jax.random.PRNGKey(10 + c)
+        )
+        assert draws.shape == (100, 50, 2)
+        # chains moved to a new, valid position (the carry may sit past the
+        # last recorded sweep — chains keep stepping until all have
+        # recorded, so exact equality with draws[-1] is not an invariant)
+        assert bool(jnp.isfinite(state2.x).all())
+        assert not jnp.allclose(state2.x, state.x)
+        parts.append(draws)
+        state = state2
+    flat = np.asarray(jnp.concatenate(parts).reshape(-1, 2))
+    assert np.allclose(flat.mean(0), np.asarray(MEAN), atol=0.15)
+    assert np.allclose(np.cov(flat.T), np.asarray(COV), atol=0.3)
+
+    # high-level chunked mode
+    draws = run_slice_vectorized_fsm(
+        logp, inits, num_samples=300, warmup_steps=100,
+        key=jax.random.PRNGKey(2), max_sweeps_per_program=64,
+    )
+    assert draws.shape == (300, 50, 2)
+    flat = np.asarray(draws.reshape(-1, 2))
+    assert np.allclose(flat.mean(0), np.asarray(MEAN), atol=0.15)
+    assert np.allclose(np.cov(flat.T), np.asarray(COV), atol=0.3)
+
+    # thinning composes with chunking (global stream thinning)
+    thinned = run_slice_vectorized_fsm(
+        logp, inits, num_samples=50, thin=3, warmup_steps=50,
+        key=jax.random.PRNGKey(3), max_sweeps_per_program=64,
+    )
+    assert thinned.shape == (50, 50, 2)
