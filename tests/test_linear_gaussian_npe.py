@@ -121,3 +121,31 @@ def test_npe_c_non_atomic_mog_path():
     assert inference.use_non_atomic_loss
     samples = proposal.sample((1000,), key=jax.random.PRNGKey(30))
     check_c2st(samples, gt, alg="snpe-c-mog", tol=0.15)
+
+
+@pytest.mark.slow
+def test_c2st_npe_mdn_10d_linear_gaussian():
+    """BASELINE.json benchmark config 1: 10-D linear-Gaussian NPE+MDN with
+    analytic check (calibrated at 0.56 @10k sims; 2k-sim budgets are NOT
+    expected to close 10-D, hence the larger budget)."""
+    D = 10
+    shift = -1.0 * jnp.ones(D)
+    cov = 0.3 * jnp.eye(D)
+    x_o = jnp.zeros((1, D))
+    seed_all_backends(0)
+    prior = MultivariateNormal(jnp.zeros(D), covariance_matrix=jnp.eye(D))
+    theta = prior.sample(jax.random.PRNGKey(0), (10_000,))
+    x = linear_gaussian(theta, shift, cov, key=jax.random.PRNGKey(1))
+    ref = true_posterior_linear_gaussian_mvn_prior(
+        x_o, shift, cov, jnp.zeros(D), jnp.eye(D)
+    ).sample(jax.random.PRNGKey(3), (1000,))
+    inference = NPE(
+        prior=prior,
+        density_estimator=posterior_nn(
+            "mdn", num_components=5, hidden_features=100
+        ),
+    )
+    inference.append_simulations(theta, x).train(training_batch_size=200)
+    posterior = inference.build_posterior().set_default_x(x_o)
+    samples = posterior.sample((1000,), key=jax.random.PRNGKey(2))
+    check_c2st(samples, ref, alg="npe-mdn-10d", tol=0.12)
