@@ -347,6 +347,14 @@ EXPERIMENTS = {
         scale_parameterization="log", num_layers=5, hidden_features=256,
         batch_size=1024, ckpt_dir="/tmp/poe_mdnseq_ckpt"),
         "snle-gauss-poe16-seq", "slcp", 4_000_000),
+    # Members are the clean lever (seq refinement hurts at this scale —
+    # see the poe16_mdn_seq negative result): 32 members, disjoint 125k
+    # blocks, still one vmapped program.
+    "poe32_mdn_4m": (lambda: run_poe_vmapped_slcp(
+        125_000, n_members=32, rounds=1, model="mdn", num_components=2,
+        scale_parameterization="log", num_layers=5, hidden_features=256,
+        batch_size=1024, ckpt_dir="/tmp/poe_mdn4m_ckpt"),
+        "nle-gauss-poe32-4m", "slcp", 4_000_000),
     "npe_gl_tuned": (run_npe_gl_tuned, "npe", "gaussian_linear", 10000),
     "npe_gl_mdn": (lambda: run_npe_gl_tuned(
         30000, model="mdn", num_components=8, hidden_features=128,
