@@ -120,3 +120,20 @@ def test_ensemble_posterior_sample_batched_product(trained):
     assert bool(jnp.isfinite(s).all())
     means = s.mean(axis=0)
     assert bool((means[2] > means[0]).all()), means
+
+
+def test_mcmc_sample_batched_bounded_programs(trained):
+    """`max_sweeps_per_program` through the batched MCMC path: bounded
+    device programs with carried chain state must track each
+    observation's posterior like the monolithic program does."""
+    prior, _, nle = trained
+    post = nle.build_posterior()
+    s = post.sample_batched(
+        (400,), XS, key=jax.random.PRNGKey(8), num_chains=40,
+        max_sweeps_per_program=8,
+    )
+    assert s.shape == (400, 3, D)
+    assert bool(jnp.isfinite(s).all())
+    for b in (0, 2):
+        score = float(c2st(s[:, b], _analytic(XS[b], n=400, key=40 + b)))
+        assert score <= 0.65, (b, score)
