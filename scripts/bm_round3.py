@@ -261,6 +261,113 @@ def run_poe_vmapped_slcp(per_member, n_members=16, rounds=1,
     return [scores[i] for i in obs_list]
 
 
+def run_poe_mixed_slcp(
+    per_member,
+    families=(
+        ("mdn", dict(num_components=2, scale_parameterization="log",
+                     num_layers=5, hidden_features=256), 8),
+        ("nsf", dict(hidden_features=128, num_transforms=8, num_bins=16), 8),
+    ),
+    obs_list=(0, 1, 2),
+    patience=100,
+    batch_size=1024,
+    ckpt_dir="/tmp/poe_mixed_ckpt",
+):
+    """Architecture-diverse PoE: K members per FAMILY, each family trained
+    as one vmapped program on its own disjoint simulation blocks, combined
+    as a single product of experts. Rationale: same-architecture PoE
+    saturates (poe32 == poe16 at 0.52) because the residual is SHARED
+    Gaussian-head bias — a second family with different bias structure is
+    the remaining averaging axis."""
+    import json
+
+    from sbi_tpu.inference import MCMCPosterior, NLE_A
+    from sbi_tpu.inference.potentials.base_potential import (
+        CustomPotentialWrapper,
+    )
+    from sbi_tpu.inference.potentials.likelihood_based_potential import (
+        _log_likelihoods_over_trials,
+    )
+    from sbi_tpu.neural_nets.factory import likelihood_nn
+    from sbi_tpu.utils.checkpointing import restore_pytree, save_pytree
+
+    bench = get_bench_task("slcp")
+    prior = bench.prior
+    os.makedirs(ckpt_dir, exist_ok=True)
+    members = []  # (est, stacked, K) per family
+    for fi, (model, est_kw, K) in enumerate(families):
+        seed_all_backends(fi)
+        theta = prior.sample(jr.PRNGKey(1000 + fi), (K * per_member,))
+        x = bench.simulator(theta, key=jr.PRNGKey(2000 + fi))
+        inf = NLE_A(prior=prior, density_estimator=likelihood_nn(model, **est_kw))
+        inf.append_simulations(jnp.repeat(theta, 4, axis=0), x.reshape(-1, 2))
+        rows = [
+            np.arange(m * 4 * per_member, (m + 1) * 4 * per_member)
+            for m in range(K)
+        ]
+        path = f"{ckpt_dir}/fam{fi}_{model}"
+        if os.path.exists(path):
+            th_all, x_all, _ = inf.get_simulations(0)
+            est = inf._build_neural_net(th_all, x_all)
+            template = jax.tree_util.tree_map(
+                lambda p: jnp.broadcast_to(p, (K,) + p.shape), est.params
+            )
+            stacked = restore_pytree(path, like=template)
+            print(f"  family {model}: restored", flush=True)
+        else:
+            t0 = time.time()
+            inf.train_ensemble(
+                num_members=K, training_batch_size=batch_size,
+                stop_after_epochs=patience, epoch_chunk=EPOCH_CHUNK,
+                member_train_indices=rows, max_num_epochs=3000,
+            )
+            est = inf._ensemble_estimators[0]
+            stacked = inf._ensemble_stacked_params
+            save_pytree(path, stacked)
+            print(f"  family {model}: K={K} trained in {time.time()-t0:.0f}s "
+                  f"({inf.summary['epochs_trained'][-1]} epochs)", flush=True)
+        members.append((est, stacked, K))
+
+    scores_path = f"{ckpt_dir}/scores.json"
+    scores = {}
+    if os.path.exists(scores_path):
+        scores = {int(k): v for k, v in json.load(open(scores_path)).items()}
+    for i in obs_list:
+        if i in scores:
+            print(f"  obs {i}: c2st={scores[i]:.4f} (cached)", flush=True)
+            continue
+        x_o = bench.get_observation(i).reshape(4, 2)
+
+        def potential(theta, _x_o=x_o):
+            # member-serial lax.map per family (see _eval_poe), families
+            # concatenated before the PoE mean.
+            lls = [
+                jax.lax.map(
+                    lambda p, _e=est_f: _log_likelihoods_over_trials(
+                        _x_o, theta, _e, params=p
+                    ),
+                    stacked_f,
+                )
+                for est_f, stacked_f, _ in members
+            ]
+            return jnp.concatenate(lls, 0).mean(0) + prior.log_prob(theta)
+
+        post = MCMCPosterior(
+            CustomPotentialWrapper(potential, prior=prior), proposal=prior,
+            num_chains=200, warmup_steps=500, thin=5,
+            init_strategy="proposal",
+        ).set_default_x(x_o)
+        ref = bench.get_reference_posterior_samples(i)
+        n = min(2000, ref.shape[0])
+        t0 = time.time()
+        samples = post.sample((n,), key=jr.PRNGKey(10 + i))
+        scores[i] = float(c2st(samples, ref[:n]))
+        json.dump(scores, open(scores_path, "w"))
+        print(f"  obs {i}: c2st={scores[i]:.4f} ({time.time()-t0:.0f}s)",
+              flush=True)
+    return [scores[i] for i in obs_list]
+
+
 def run_npe_gl_tuned(num_simulations=10000, model="nsf", **est_kw):
     """npe/gaussian_linear 0.557 -> target <=0.55 (VERDICT item 6)."""
     from sbi_tpu.inference import NPE
@@ -355,6 +462,8 @@ EXPERIMENTS = {
         scale_parameterization="log", num_layers=5, hidden_features=256,
         batch_size=1024, ckpt_dir="/tmp/poe_mdn4m_ckpt"),
         "nle-gauss-poe32-4m", "slcp", 4_000_000),
+    "poemix16_2m": (lambda: run_poe_mixed_slcp(125_000),
+                    "nle-poemix16-2m", "slcp", 2_000_000),
     "npe_gl_tuned": (run_npe_gl_tuned, "npe", "gaussian_linear", 10000),
     "npe_gl_mdn": (lambda: run_npe_gl_tuned(
         30000, model="mdn", num_components=8, hidden_features=128,
