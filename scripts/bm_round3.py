@@ -266,7 +266,13 @@ def run_poe_mixed_slcp(
     families=(
         ("mdn", dict(num_components=2, scale_parameterization="log",
                      num_layers=5, hidden_features=256), 8),
-        ("nsf", dict(hidden_features=128, num_transforms=8, num_bins=16), 8),
+        # Second family: same MoG head but different parameterization and
+        # trunk geometry (K=4 softplus-scale components, deeper/narrower)
+        # => different bias structure. An 8-wide vmapped NSF family was
+        # tried first and reliably kernel-faults the TPU worker during
+        # TRAINING too (the fault class previously seen only in sampling).
+        ("mdn", dict(num_components=4, scale_parameterization="softplus",
+                     num_layers=6, hidden_features=192), 8),
     ),
     obs_list=(0, 1, 2),
     patience=100,
