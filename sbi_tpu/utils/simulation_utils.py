@@ -51,9 +51,22 @@ def simulate_for_sbi(
         theta_np = np.asarray(theta)
         batches = np.array_split(theta_np, num_workers)
         seeds = np.arange(num_workers)
+        base_seed = int(jax.random.randint(k_sim, (), 0, 2**31 - 1))
 
         def run(batch, i):
-            return np.asarray(simulator(batch, key=jax.random.fold_in(k_sim, int(i))))
+            # Fresh worker interpreters must NOT initialize the default
+            # (TPU) backend: the pool exists precisely for CPU-bound
+            # simulators, and a worker touching the TPU tunnel couples
+            # every host worker to device availability. Force CPU before
+            # the first jax op in this process (no-op on reused workers).
+            import jax as _jax
+
+            try:
+                _jax.config.update("jax_platforms", "cpu")
+            except RuntimeError:
+                pass
+            k = _jax.random.fold_in(_jax.random.PRNGKey(base_seed), int(i))
+            return np.asarray(simulator(batch, key=k))
 
         outs = Parallel(n_jobs=num_workers)(
             delayed(run)(b, i) for b, i in zip(batches, seeds)

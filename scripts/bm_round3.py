@@ -477,6 +477,11 @@ EXPERIMENTS = {
     "npe_gl_maf": (lambda: run_npe_gl_tuned(
         30000, model="maf", hidden_features=100, num_transforms=8),
         "npe-maf", "gaussian_linear", 30000),
+    # gaussian_linear's posterior is Gaussian — NSF's spline tails are
+    # the liability; more bins + wider tail_bound + bigger net.
+    "npe_gl_nsf2": (lambda: run_npe_gl_tuned(
+        30000, model="nsf", hidden_features=128, num_transforms=8,
+        num_bins=16, tail_bound=5.0), "npe-nsf", "gaussian_linear", 30000),
     # SLCP's per-trial likelihood is EXACTLY N(m(theta), S(theta)) — a
     # K=1 log-parameterized full-covariance MoG head is correctly
     # specified, so fit error is only the theta->(mean, chol) MLP.
