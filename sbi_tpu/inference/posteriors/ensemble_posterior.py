@@ -237,23 +237,26 @@ class EnsemblePosterior(NeuralPosterior):
             self.set_default_x(x)
         prior = getattr(self.potential_fn, "prior", None)
         assert prior is not None, "Evidence weighting needs a prior."
-        logzs = []
+        potentials = self._ensemble_potentials()
+        # ONE theta batch shared by all members (common random numbers):
+        # the weights come from a softmax of the logZ DIFFERENCES, so
+        # evaluating every member on the same theta_j cancels the shared
+        # Monte-Carlo noise in exactly the member-vs-member comparison
+        # (and costs K x less prior sampling).
+        parts = [[] for _ in potentials]
         n_chunks = max(1, -(-num_samples // chunk_size))
-        for k_i, p in enumerate(self._ensemble_potentials()):
-            parts = []
-            for c in range(n_chunks):
-                n_c = min(chunk_size, num_samples - c * chunk_size)
-                th = prior.sample(
-                    jax.random.fold_in(jax.random.fold_in(key, k_i), c),
-                    (n_c,),
-                )
-                ll = p(th) - prior.log_prob(th)  # (n_c,)
-                parts.append(jax.scipy.special.logsumexp(ll))
-            logz = jax.scipy.special.logsumexp(
-                jnp.stack(parts)
-            ) - jnp.log(float(num_samples))
-            logzs.append(logz)
-        logz = jnp.stack(logzs)
+        for c in range(n_chunks):
+            n_c = min(chunk_size, num_samples - c * chunk_size)
+            th = prior.sample(jax.random.fold_in(key, c), (n_c,))
+            lp = prior.log_prob(th)
+            for k_i, p in enumerate(potentials):
+                ll = p(th) - lp  # (n_c,)
+                parts[k_i].append(jax.scipy.special.logsumexp(ll))
+        logz = jnp.stack([
+            jax.scipy.special.logsumexp(jnp.stack(member_parts))
+            - jnp.log(float(num_samples))
+            for member_parts in parts
+        ])
         self._weights = jax.nn.softmax(logz)
         self.potential_fn._weights = self._weights
         return logz

@@ -11,6 +11,7 @@ Pyro/PyMC backends. Method-name compatibility: the reference's names
 from __future__ import annotations
 
 import math
+import warnings
 from typing import Callable, Dict, Optional, Union
 
 import jax
@@ -190,6 +191,13 @@ class MCMCPosterior(NeuralPosterior):
         per_chain = max(1, math.ceil(num_samples / num_chains))
         # Bounded-program mode (slice methods only): see slice_fsm.py.
         max_sweeps = kwargs.pop("max_sweeps_per_program", None)
+        if max_sweeps is not None and method not in (
+            "slice_jax_vectorized", "slice_jax"
+        ):
+            warnings.warn(
+                f"max_sweeps_per_program is only implemented for the slice "
+                f"FSM; method={method!r} runs one monolithic device program."
+            )
 
         if method == "slice_jax_vectorized" or method == "slice_jax":
             draws_u = run_slice_vectorized(

@@ -364,8 +364,12 @@ def slice_fsm_warmup(
     inits = jnp.asarray(inits, jnp.float32)
     C, D = inits.shape
     widths0 = jnp.broadcast_to(jnp.asarray(init_width, jnp.float32), (D,))
-    n_warm_record = max(warmup_steps // 2, 1) if warmup_steps > 0 else 0
-    n_warm_skip = warmup_steps - n_warm_record if warmup_steps > 0 else 0
+    if warmup_steps <= 0:
+        # No warmup phase: nothing to tune widths from (a (0, D) std is
+        # NaN and silently freezes every chain downstream).
+        return SliceFSMState(x=inits, widths=widths0)
+    n_warm_record = max(warmup_steps // 2, 1)
+    n_warm_skip = warmup_steps - n_warm_record
     x_cur, widths = _warmup_fsm(
         key, widths0, inits, jnp.int32(n_warm_skip),
         potential_fn=potential_fn, n_warm_record=n_warm_record,

@@ -66,7 +66,10 @@ def simulate_for_sbi(
             except RuntimeError:
                 pass
             k = _jax.random.fold_in(_jax.random.PRNGKey(base_seed), int(i))
-            return np.asarray(simulator(batch, key=k))
+            try:
+                return np.asarray(simulator(batch, key=k))
+            except TypeError:  # keyless black-box simulator, like the serial path
+                return np.asarray(simulator(batch))
 
         outs = Parallel(n_jobs=num_workers)(
             delayed(run)(b, i) for b, i in zip(batches, seeds)

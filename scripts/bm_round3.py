@@ -77,15 +77,14 @@ def _eval_poe(est, stacked_params, prior, bench, i, n=2000,
     return float(c2st(samples, ref[:n])), post
 
 
-def _poe_sample(est, stacked_params, prior, x_o, n, key, mcmc_kw=None,
-                max_per_call=12_000):
-    """Chunked PoE-posterior MCMC draws.
+def _poe_sample(est, stacked_params, prior, x_o, n, key, mcmc_kw=None):
+    """PoE-posterior MCMC draws in bounded device programs.
 
     One giant device program (warmup + n/chains sweeps of the K-member
     potential) reliably CRASHES the TPU worker beyond ~10^3 sweeps — the
-    round-2 ens7 loss and two round-3 crashes were all in this spot. Keep
-    every program short by drawing in <=max_per_call slices (each slice
-    re-runs warmup; wasteful but bounded)."""
+    round-2 ens7 loss and two round-3 crashes were all in this spot.
+    max_sweeps_per_program (the FSM's resumable-state mode) keeps every
+    program short while paying warmup only once."""
     from sbi_tpu.inference import MCMCPosterior
     from sbi_tpu.inference.potentials.base_potential import (
         CustomPotentialWrapper,
@@ -117,6 +116,63 @@ def _poe_sample(est, stacked_params, prior, x_o, n, key, mcmc_kw=None,
     return post.sample((n,), key=key, max_sweeps_per_program=256)
 
 
+def _restore_stacked(inf, K, path, label=""):
+    """Rebuild the estimator on the trainer's CURRENT data and restore
+    stacked member params from ``path``; None if no checkpoint. The
+    estimator must be rebuilt on the SAME data the checkpointed members
+    were trained on — its z-scoring transforms are data statistics, and
+    a mismatch silently shifts every log-prob."""
+    from sbi_tpu.utils.checkpointing import restore_pytree
+
+    if not os.path.exists(path):
+        return None
+    th_all, x_all, _ = inf.get_simulations(0)
+    est = inf._build_neural_net(th_all, x_all)
+    template = jax.tree_util.tree_map(
+        lambda p: jnp.broadcast_to(p, (K,) + p.shape), est.params
+    )
+    stacked = restore_pytree(path, like=template)
+    print(f"  {label}: restored from checkpoint", flush=True)
+    return est, stacked
+
+
+def _train_stacked(inf, K, path, member_rows, batch_size, patience, label=""):
+    """train_ensemble + checkpoint the stacked member params."""
+    from sbi_tpu.utils.checkpointing import save_pytree
+
+    t0 = time.time()
+    inf.train_ensemble(
+        num_members=K, training_batch_size=batch_size,
+        stop_after_epochs=patience, epoch_chunk=EPOCH_CHUNK,
+        member_train_indices=member_rows, max_num_epochs=3000,
+    )
+    est = inf._ensemble_estimators[0]
+    stacked = inf._ensemble_stacked_params
+    save_pytree(path, stacked)
+    print(f"  {label}: K={K} trained in {time.time()-t0:.0f}s "
+          f"({inf.summary['epochs_trained'][-1]} epochs)", flush=True)
+    return est, stacked
+
+
+def _score_obs_cached(obs_list, scores_path, score_fn):
+    """Per-observation C2ST with a scores.json crash-resume cache."""
+    import json
+
+    scores = {}
+    if os.path.exists(scores_path):
+        scores = {int(k): v for k, v in json.load(open(scores_path)).items()}
+    for i in obs_list:
+        if i in scores:
+            print(f"  obs {i}: c2st={scores[i]:.4f} (cached)", flush=True)
+            continue
+        t0 = time.time()
+        scores[i] = score_fn(i)
+        json.dump(scores, open(scores_path, "w"))
+        print(f"  obs {i}: c2st={scores[i]:.4f} ({time.time()-t0:.0f}s)",
+              flush=True)
+    return [scores[i] for i in obs_list]
+
+
 def run_poe_vmapped_slcp(per_member, n_members=16, rounds=1,
                          obs_list=(0, 1, 2), patience=100, batch_size=500,
                          ckpt_dir="/tmp/poe_slcp_ckpt", model="nsf",
@@ -131,11 +187,8 @@ def run_poe_vmapped_slcp(per_member, n_members=16, rounds=1,
     worker has crashed mid-PoE-MCMC twice across rounds, so the pipeline
     must survive a process restart (memory: round2-operational-notes).
     """
-    import json
-
     from sbi_tpu.inference import NLE_A
     from sbi_tpu.neural_nets.factory import likelihood_nn
-    from sbi_tpu.utils.checkpointing import restore_pytree, save_pytree
 
     bench = get_bench_task("slcp")
     prior = bench.prior
@@ -159,43 +212,16 @@ def run_poe_vmapped_slcp(per_member, n_members=16, rounds=1,
         np.arange(m * 4 * per_round, (m + 1) * 4 * per_round) for m in range(K)
     ]
 
-    def train_round(r):
-        t0 = time.time()
-        inf.train_ensemble(
-            num_members=K, training_batch_size=batch_size,
-            stop_after_epochs=patience, epoch_chunk=EPOCH_CHUNK,
-            member_train_indices=member_rows, max_num_epochs=3000,
-        )
-        print(f"  round {r}: K={K} trained in {time.time()-t0:.0f}s "
-              f"({inf.summary['epochs_trained'][-1]} epochs)", flush=True)
-        save_pytree(f"{ckpt_dir}/round{r}", inf._ensemble_stacked_params)
-        return inf._ensemble_estimators[0], inf._ensemble_stacked_params
-
-    def try_restore(r):
-        path = f"{ckpt_dir}/round{r}"
-        if not os.path.exists(path):
-            return None
-        # The estimator must be rebuilt on the SAME data the checkpointed
-        # members were trained on — its z-scoring transforms are data
-        # statistics, and a mismatch silently shifts every log-prob.
-        print(f"  round {r}: rebuilding estimator for restore...", flush=True)
-        th_all, x_all, _ = inf.get_simulations(0)
-        est = inf._build_neural_net(th_all, x_all)
-        print(f"  round {r}: estimator rebuilt, restoring...", flush=True)
-        template = jax.tree_util.tree_map(
-            lambda p: jnp.broadcast_to(p, (K,) + p.shape), est.params
-        )
-        stacked = restore_pytree(path, like=template)
-        print(f"  round {r}: restored from checkpoint", flush=True)
-        return est, stacked
-
-    restored = try_restore(0)
+    restored = _restore_stacked(inf, K, f"{ckpt_dir}/round0", label="round 0")
     if restored is not None:
         est, stacked = restored
         if inf._neural_net is None:
             inf._neural_net = est
     else:
-        est, stacked = train_round(0)
+        est, stacked = _train_stacked(
+            inf, K, f"{ckpt_dir}/round0", member_rows, batch_size, patience,
+            label="round 0",
+        )
 
     for r in range(1, rounds):
         # Pooled PoE-posterior proposal over the scored observations.
@@ -239,26 +265,21 @@ def run_poe_vmapped_slcp(per_member, n_members=16, rounds=1,
             ])
             for m in range(K)
         ]
-        restored = try_restore(r)
+        restored = _restore_stacked(
+            inf, K, f"{ckpt_dir}/round{r}", label=f"round {r}"
+        )
         if restored is not None:
             est, stacked = restored
         else:
-            est, stacked = train_round(r)
+            est, stacked = _train_stacked(
+                inf, K, f"{ckpt_dir}/round{r}", member_rows, batch_size,
+                patience, label=f"round {r}",
+            )
 
-    scores_path = f"{ckpt_dir}/scores.json"
-    scores = {}
-    if os.path.exists(scores_path):
-        scores = {int(k): v for k, v in json.load(open(scores_path)).items()}
-    for i in obs_list:
-        if i in scores:
-            print(f"  obs {i}: c2st={scores[i]:.4f} (cached)", flush=True)
-            continue
-        t0 = time.time()
-        s, _ = _eval_poe(est, stacked, prior, bench, i)
-        scores[i] = s
-        json.dump(scores, open(scores_path, "w"))
-        print(f"  obs {i}: c2st={s:.4f} ({time.time()-t0:.0f}s)", flush=True)
-    return [scores[i] for i in obs_list]
+    return _score_obs_cached(
+        obs_list, f"{ckpt_dir}/scores.json",
+        lambda i: _eval_poe(est, stacked, prior, bench, i)[0],
+    )
 
 
 def run_poe_mixed_slcp(
@@ -285,8 +306,6 @@ def run_poe_mixed_slcp(
     saturates (poe32 == poe16 at 0.52) because the residual is SHARED
     Gaussian-head bias — a second family with different bias structure is
     the remaining averaging axis."""
-    import json
-
     from sbi_tpu.inference import MCMCPosterior, NLE_A
     from sbi_tpu.inference.potentials.base_potential import (
         CustomPotentialWrapper,
@@ -295,7 +314,6 @@ def run_poe_mixed_slcp(
         _log_likelihoods_over_trials,
     )
     from sbi_tpu.neural_nets.factory import likelihood_nn
-    from sbi_tpu.utils.checkpointing import restore_pytree, save_pytree
 
     bench = get_bench_task("slcp")
     prior = bench.prior
@@ -312,36 +330,15 @@ def run_poe_mixed_slcp(
             for m in range(K)
         ]
         path = f"{ckpt_dir}/fam{fi}_{model}"
-        if os.path.exists(path):
-            th_all, x_all, _ = inf.get_simulations(0)
-            est = inf._build_neural_net(th_all, x_all)
-            template = jax.tree_util.tree_map(
-                lambda p: jnp.broadcast_to(p, (K,) + p.shape), est.params
+        label = f"family {fi} ({model})"
+        restored = _restore_stacked(inf, K, path, label=label)
+        if restored is None:
+            restored = _train_stacked(
+                inf, K, path, rows, batch_size, patience, label=label
             )
-            stacked = restore_pytree(path, like=template)
-            print(f"  family {model}: restored", flush=True)
-        else:
-            t0 = time.time()
-            inf.train_ensemble(
-                num_members=K, training_batch_size=batch_size,
-                stop_after_epochs=patience, epoch_chunk=EPOCH_CHUNK,
-                member_train_indices=rows, max_num_epochs=3000,
-            )
-            est = inf._ensemble_estimators[0]
-            stacked = inf._ensemble_stacked_params
-            save_pytree(path, stacked)
-            print(f"  family {model}: K={K} trained in {time.time()-t0:.0f}s "
-                  f"({inf.summary['epochs_trained'][-1]} epochs)", flush=True)
-        members.append((est, stacked, K))
+        members.append(restored + (K,))
 
-    scores_path = f"{ckpt_dir}/scores.json"
-    scores = {}
-    if os.path.exists(scores_path):
-        scores = {int(k): v for k, v in json.load(open(scores_path)).items()}
-    for i in obs_list:
-        if i in scores:
-            print(f"  obs {i}: c2st={scores[i]:.4f} (cached)", flush=True)
-            continue
+    def score(i):
         x_o = bench.get_observation(i).reshape(4, 2)
 
         def potential(theta, _x_o=x_o):
@@ -365,13 +362,10 @@ def run_poe_mixed_slcp(
         ).set_default_x(x_o)
         ref = bench.get_reference_posterior_samples(i)
         n = min(2000, ref.shape[0])
-        t0 = time.time()
         samples = post.sample((n,), key=jr.PRNGKey(10 + i))
-        scores[i] = float(c2st(samples, ref[:n]))
-        json.dump(scores, open(scores_path, "w"))
-        print(f"  obs {i}: c2st={scores[i]:.4f} ({time.time()-t0:.0f}s)",
-              flush=True)
-    return [scores[i] for i in obs_list]
+        return float(c2st(samples, ref[:n]))
+
+    return _score_obs_cached(obs_list, f"{ckpt_dir}/scores.json", score)
 
 
 def run_npe_gl_tuned(num_simulations=10000, model="nsf", **est_kw):

@@ -236,3 +236,18 @@ def test_fsm_resumable_state_and_bounded_programs():
         key=jax.random.PRNGKey(3), max_sweeps_per_program=64,
     )
     assert thinned.shape == (50, 50, 2)
+
+
+def test_fsm_chunked_no_warmup_still_moves():
+    """Regression: warmup_steps=0 with max_sweeps_per_program used to
+    tune widths from an EMPTY warmup buffer -> NaN widths -> every chain
+    silently frozen at its init. Chains must move and track the target."""
+    inits = MEAN[None, :] + jax.random.normal(jax.random.PRNGKey(0), (50, 2))
+    draws = run_slice_vectorized_fsm(
+        logp, inits, num_samples=200, warmup_steps=0,
+        key=jax.random.PRNGKey(1), max_sweeps_per_program=32,
+    )
+    assert bool(jnp.isfinite(draws).all())
+    assert not jnp.allclose(draws[-1], inits)  # moved
+    flat = np.asarray(draws[50:].reshape(-1, 2))
+    assert np.allclose(flat.mean(0), np.asarray(MEAN), atol=0.2)
