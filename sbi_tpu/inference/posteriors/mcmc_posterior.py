@@ -11,7 +11,6 @@ Pyro/PyMC backends. Method-name compatibility: the reference's names
 from __future__ import annotations
 
 import math
-import warnings
 from typing import Callable, Dict, Optional, Union
 
 import jax
@@ -189,15 +188,10 @@ class MCMCPosterior(NeuralPosterior):
         inits = self._get_initial_params(num_chains, key=k_init)
         pot_u = self._prepare_potential(method)
         per_chain = max(1, math.ceil(num_samples / num_chains))
-        # Bounded-program mode (slice methods only): see slice_fsm.py.
+        # Bounded-program mode (all in-repo kernels): warmup once, then
+        # advance chains in equal-size device programs with carried state
+        # (slice_fsm.py resumable state; hmc.py `_run_adaptive` chunking).
         max_sweeps = kwargs.pop("max_sweeps_per_program", None)
-        if max_sweeps is not None and method not in (
-            "slice_jax_vectorized", "slice_jax"
-        ):
-            warnings.warn(
-                f"max_sweeps_per_program is only implemented for the slice "
-                f"FSM; method={method!r} runs one monolithic device program."
-            )
 
         if method == "slice_jax_vectorized" or method == "slice_jax":
             draws_u = run_slice_vectorized(
@@ -208,12 +202,14 @@ class MCMCPosterior(NeuralPosterior):
         elif method == "hmc":
             draws_u = run_hmc(
                 pot_u, inits, num_samples=per_chain, thin=thin,
-                warmup_steps=warmup_steps, key=k_run, **kwargs,
+                warmup_steps=warmup_steps, key=k_run,
+                max_sweeps_per_program=max_sweeps, **kwargs,
             )
         elif method == "nuts":
             draws_u = run_nuts(
                 pot_u, inits, num_samples=per_chain, thin=thin,
-                warmup_steps=warmup_steps, key=k_run, **kwargs,
+                warmup_steps=warmup_steps, key=k_run,
+                max_sweeps_per_program=max_sweeps, **kwargs,
             )
         else:
             raise NotImplementedError(method)

@@ -53,6 +53,7 @@ def run_hmc(
     target_accept: float = 0.8,
     jitter_steps: bool = False,
     key: Optional[Array] = None,
+    max_sweeps_per_program: Optional[int] = None,
 ) -> Array:
     """Vectorized HMC; returns (num_samples, C, D).
 
@@ -63,7 +64,8 @@ def run_hmc(
     C, D = inits.shape
     hmc_step = _make_hmc_step(potential_fn, D, num_leapfrog, bool(jitter_steps))
     return _run_adaptive(
-        hmc_step, inits, num_samples, thin, warmup_steps, target_accept, key
+        hmc_step, inits, num_samples, thin, warmup_steps, target_accept, key,
+        max_sweeps_per_program=max_sweeps_per_program,
     )
 
 
@@ -112,20 +114,40 @@ def _run_adaptive(
     warmup_steps: int,
     target_accept: float,
     key: Array,
+    max_sweeps_per_program: Optional[int] = None,
 ) -> Array:
     """Shared warmup (dual-averaging step size + diagonal mass EMA) and
     sampling phases. ``step_fn(theta, key, step_size, inv_mass) -> (theta,
     alpha)`` operates on a single chain; chains are vmapped. Both phases
     are module-level jits with step_fn static, so repeated calls with the
-    same cached step function reuse the compiled programs."""
+    same cached step function reuse the compiled programs.
+
+    max_sweeps_per_program bounds every recording device program (same
+    contract as the slice FSM's resumable-state mode): warmup runs once,
+    then chains advance in equal-size chunks with the last recorded
+    position carried between programs — draws record EVERY step, so
+    ``draws[-1]`` IS the chain state."""
     key, k_warm, k_main = jax.random.split(key, 3)
     theta, step_size, inv_mass = _adaptive_warmup(
         inits, k_warm, target_accept, step_fn=step_fn, warmup_steps=warmup_steps
     )
-    draws = _adaptive_sample(
-        theta, k_main, step_size, inv_mass, step_fn=step_fn,
-        n_steps=num_samples * thin,
-    )
+    n_total = num_samples * thin
+    if max_sweeps_per_program is not None and n_total > max_sweeps_per_program:
+        chunk = max_sweeps_per_program
+        parts = []
+        for c in range(-(-n_total // chunk)):
+            draws_c = _adaptive_sample(
+                theta, jax.random.fold_in(k_main, c), step_size, inv_mass,
+                step_fn=step_fn, n_steps=chunk,
+            )
+            theta = draws_c[-1]
+            parts.append(draws_c)
+        draws = jnp.concatenate(parts)[:n_total]
+    else:
+        draws = _adaptive_sample(
+            theta, k_main, step_size, inv_mass, step_fn=step_fn,
+            n_steps=n_total,
+        )
     if thin > 1:
         draws = draws[thin - 1::thin]
     return draws[:num_samples]
@@ -210,6 +232,7 @@ def run_nuts(
     max_tree_depth: int = 6,
     target_accept: float = 0.8,
     key: Optional[Array] = None,
+    max_sweeps_per_program: Optional[int] = None,
 ) -> Array:
     """Tree-based multinomial NUTS with iterative tree doubling on
     fixed-shape buffers (replacing the reference's Pyro/PyMC delegation,
@@ -232,7 +255,8 @@ def run_nuts(
     _, D = inits.shape
     nuts_step = _make_nuts_step(potential_fn, D, int(max_tree_depth))
     return _run_adaptive(
-        nuts_step, inits, num_samples, thin, warmup_steps, target_accept, key
+        nuts_step, inits, num_samples, thin, warmup_steps, target_accept, key,
+        max_sweeps_per_program=max_sweeps_per_program,
     )
 
 

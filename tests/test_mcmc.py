@@ -251,3 +251,17 @@ def test_fsm_chunked_no_warmup_still_moves():
     assert not jnp.allclose(draws[-1], inits)  # moved
     flat = np.asarray(draws[50:].reshape(-1, 2))
     assert np.allclose(flat.mean(0), np.asarray(MEAN), atol=0.2)
+
+
+@pytest.mark.parametrize("runner", [run_hmc, run_nuts], ids=["hmc", "nuts"])
+def test_hmc_nuts_bounded_programs(runner):
+    """max_sweeps_per_program for the gradient kernels: warmup once, then
+    equal-size recording programs with the last position carried — must
+    match the monolithic program statistically."""
+    inits = jax.random.normal(jax.random.PRNGKey(0), (50, 2))
+    draws = runner(logp, inits, num_samples=300, warmup_steps=100,
+                   key=jax.random.PRNGKey(1), max_sweeps_per_program=64)
+    assert draws.shape == (300, 50, 2)
+    flat = np.asarray(draws.reshape(-1, 2))
+    assert np.allclose(flat.mean(0), np.asarray(MEAN), atol=0.15), flat.mean(0)
+    assert np.allclose(np.cov(flat.T), np.asarray(COV), atol=0.3)
