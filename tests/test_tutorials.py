@@ -397,3 +397,35 @@ def test_00_simple_interface_infer():
     )
     s = posterior.sample((50,), x=jnp.zeros(D), key=jax.random.PRNGKey(1))
     assert s.shape == (50, D) and bool(jnp.isfinite(s).all())
+
+
+def test_22_ensembles_on_tpu():
+    """22 — Ensembles: vmapped train_ensemble -> build_ensemble_posterior
+    (PoE) -> MCMC sample with bounded programs -> evidence weighting."""
+    from sbi_tpu.inference import NLE_A
+
+    seed_all_backends(0)
+    prior = BoxUniform(-2 * jnp.ones(D), 2 * jnp.ones(D))
+    theta, x = simulate_for_sbi(
+        _simulator, prior, num_simulations=300,
+        show_progress_bar=False, key=jax.random.PRNGKey(0),
+    )
+    inference = NLE_A(prior=prior)
+    inference.append_simulations(theta, x)
+    inference.train_ensemble(
+        num_members=2, max_num_epochs=12, stop_after_epochs=12,
+        training_batch_size=50,
+    )
+    ens = inference.build_ensemble_posterior(potential_combination="product")
+    x_o = jnp.zeros(D)
+    ens.set_default_x(x_o)
+    samples = ens.sample(
+        (200,), key=jax.random.PRNGKey(1), num_chains=20, warmup_steps=50,
+        max_sweeps_per_program=8,
+    )
+    assert samples.shape == (200, D)
+    assert bool(jnp.isfinite(samples).all())
+    logz = ens.weight_by_evidence(x=x_o, num_samples=2000,
+                                  key=jax.random.PRNGKey(2))
+    assert logz.shape == (2,) and bool(jnp.isfinite(logz).all())
+    assert jnp.allclose(ens.weights.sum(), 1.0, atol=1e-5)
