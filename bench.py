@@ -24,10 +24,16 @@ Baselines are measured once on CPU and cached in bench_baseline.json.
 
 from __future__ import annotations
 
+import faulthandler
 import json
 import os
 import sys
 import time
+
+# The TPU tunnel can wedge mid-run (trivial ops hang on TCP recv); a
+# periodic stack dump to stderr makes that diagnosable from driver logs
+# instead of an opaque hang. Does not affect the JSON stdout contract.
+faulthandler.dump_traceback_later(300, repeat=True, file=sys.stderr)
 
 import numpy as np
 
