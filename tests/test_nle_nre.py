@@ -81,3 +81,17 @@ def test_nle_iid_trials():
     s5 = posterior.sample((300,), x=x_iid, key=jax.random.PRNGKey(4),
                           num_chains=30, warmup_steps=80)
     assert float(s5.var(0).mean()) < float(s1.var(0).mean())
+    # ... and TRACK the analytic 5-trial posterior, not just tighten:
+    # precision = prior^-1 + T cov^-1 (trial log-liks sum in the potential)
+    from sbi_tpu.utils.metrics import c2st
+
+    T, cov = 5, 0.3 * jnp.eye(2)
+    post_cov = jnp.linalg.inv(jnp.eye(2) + T * jnp.linalg.inv(cov))
+    post_mean = post_cov @ (
+        T * jnp.linalg.inv(cov) @ ((x_iid - shift).mean(0))
+    )
+    ref5 = MultivariateNormal(
+        post_mean, covariance_matrix=post_cov
+    ).sample(jax.random.PRNGKey(5), (300,))
+    score = float(c2st(s5, ref5))
+    assert score <= 0.68, score
