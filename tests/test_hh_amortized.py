@@ -50,3 +50,20 @@ def test_hh_amortized_npe_with_diagnostics():
         key=jax.random.PRNGKey(14),
     )
     assert float(jnp.abs(ecp - alpha).max()) < 0.3
+
+    # LC2ST completes the BASELINE config-5 battery: one posterior draw per
+    # calibration pair; the observed statistic should not blow past the
+    # permutation null on a roughly-calibrated amortized posterior.
+    from sbi_tpu.diagnostics import LC2ST
+
+    q_cal = posterior.sample_batched(
+        (1,), xs_cal, key=jax.random.PRNGKey(15)
+    )[0]  # (100, D)
+    lc2st = LC2ST(thetas_cal, xs_cal, q_cal, num_folds=2,
+                  num_trials_null=20)
+    lc2st.train_on_observed_data()
+    lc2st.train_under_null_hypothesis()
+    theta_post_o = posterior.sample((100,), x=x_o, key=jax.random.PRNGKey(16))
+    p = float(lc2st.p_value(theta_post_o, x_o))
+    assert 0.0 <= p <= 1.0
+    assert p > 0.01, p  # calibrated posterior must not be rejected hard
