@@ -192,12 +192,16 @@ class MCMCPosterior(NeuralPosterior):
         # advance chains in equal-size device programs with carried state
         # (slice_fsm.py resumable state; hmc.py `_run_adaptive` chunking).
         max_sweeps = kwargs.pop("max_sweeps_per_program", None)
+        if max_sweeps is not None and max_sweeps < 1:
+            raise ValueError(
+                f"max_sweeps_per_program must be >= 1, got {max_sweeps}"
+            )
 
         if method == "slice_jax_vectorized" or method == "slice_jax":
             draws_u = run_slice_vectorized(
                 pot_u, inits, num_samples=per_chain, thin=thin,
                 warmup_steps=warmup_steps, key=k_run,
-                max_sweeps_per_program=max_sweeps,
+                max_sweeps_per_program=max_sweeps, **kwargs,
             )
         elif method == "hmc":
             draws_u = run_hmc(

@@ -68,44 +68,21 @@ def test_bnre_trains_and_is_conservative():
     assert float(samples.var(0).mean()) > 0.5 * true_var
 
 
-def test_nle_iid_trials():
-    """Multiple iid observations should tighten the NLE posterior."""
-    prior, theta, x, x_o, _ = _setup(num_simulations=1500)
-    inf = NLE_A(prior=prior)
-    inf.append_simulations(theta, x).train(training_batch_size=100, max_num_epochs=60)
-    posterior = inf.build_posterior()
-    shift = -1.0 * jnp.ones(2)
-    x_iid = jnp.zeros((5, 2))
-    s1 = posterior.sample((300,), x=x_o, key=jax.random.PRNGKey(2),
-                          num_chains=30, warmup_steps=80)
-    s5 = posterior.sample((300,), x=x_iid, key=jax.random.PRNGKey(4),
-                          num_chains=30, warmup_steps=80)
-    assert float(s5.var(0).mean()) < float(s1.var(0).mean())
-    # ... and TRACK the analytic 5-trial posterior, not just tighten:
-    # precision = prior^-1 + T cov^-1 (trial log-liks sum in the potential)
-    from sbi_tpu.utils.metrics import c2st
-
-    T, cov = 5, 0.3 * jnp.eye(2)
-    post_cov = jnp.linalg.inv(jnp.eye(2) + T * jnp.linalg.inv(cov))
-    post_mean = post_cov @ (
-        T * jnp.linalg.inv(cov) @ ((x_iid - shift).mean(0))
-    )
-    ref5 = MultivariateNormal(
-        post_mean, covariance_matrix=post_cov
-    ).sample(jax.random.PRNGKey(5), (300,))
-    score = float(c2st(s5, ref5))
-    assert score <= 0.68, score
-
-
-def test_nre_iid_trials_track_analytic():
-    """The ratio potential sums per-trial log-ratios for iid x; the 5-trial
-    posterior must tighten AND track the analytic product posterior."""
+@pytest.mark.parametrize(
+    "cls, epochs, tol",
+    [(NLE_A, 60, 0.68), (NRE_B, 80, 0.70)],
+    ids=["nle", "nre"],
+)
+def test_iid_trials_track_analytic(cls, epochs, tol):
+    """iid x: the likelihood/ratio potential sums per-trial terms, so the
+    5-trial posterior must both TIGHTEN vs single-trial and TRACK the
+    analytic product posterior (conjugate multi-trial linear-Gaussian)."""
     from sbi_tpu.utils.metrics import c2st
 
     prior, theta, x, x_o, _ = _setup(num_simulations=1500)
-    inf = NRE_B(prior=prior)
+    inf = cls(prior=prior)
     inf.append_simulations(theta, x).train(
-        training_batch_size=100, max_num_epochs=80
+        training_batch_size=100, max_num_epochs=epochs
     )
     posterior = inf.build_posterior()
     shift = -1.0 * jnp.ones(2)
@@ -115,11 +92,8 @@ def test_nre_iid_trials_track_analytic():
     s5 = posterior.sample((300,), x=x_iid, key=jax.random.PRNGKey(4),
                           num_chains=30, warmup_steps=80)
     assert float(s5.var(0).mean()) < float(s1.var(0).mean())
-    T, cov = 5, 0.3 * jnp.eye(2)
-    post_cov = jnp.linalg.inv(jnp.eye(2) + T * jnp.linalg.inv(cov))
-    post_mean = post_cov @ (T * jnp.linalg.inv(cov) @ ((x_iid - shift).mean(0)))
-    ref5 = MultivariateNormal(
-        post_mean, covariance_matrix=post_cov
+    ref5 = true_posterior_linear_gaussian_mvn_prior(
+        x_iid, shift, 0.3 * jnp.eye(2), jnp.zeros(2), jnp.eye(2)
     ).sample(jax.random.PRNGKey(5), (300,))
     score = float(c2st(s5, ref5))
-    assert score <= 0.7, score
+    assert score <= tol, score

@@ -428,4 +428,6 @@ def test_22_ensembles_on_tpu():
     logz = ens.weight_by_evidence(x=x_o, num_samples=2000,
                                   key=jax.random.PRNGKey(2))
     assert logz.shape == (2,) and bool(jnp.isfinite(logz).all())
-    assert jnp.allclose(ens.weights.sum(), 1.0, atol=1e-5)
+    # the weights must actually be the evidence softmax (sum-to-1 alone is
+    # vacuous — the property normalizes by construction)
+    assert jnp.allclose(ens.weights, jax.nn.softmax(logz), atol=1e-5)

@@ -102,14 +102,8 @@ def test_iid_score_composition():
         key=jax.random.PRNGKey(7),
     )
     s1 = post.sample((500,), x=x_iid[:1], key=jax.random.PRNGKey(8))
-    # analytic 5-trial posterior: precision = prior^-1 + T cov^-1
-    T, cov = 5, 0.3 * jnp.eye(2)
-    post_cov_iid = jnp.linalg.inv(jnp.eye(2) + T * jnp.linalg.inv(cov))
-    post_mean_iid = post_cov_iid @ (
-        T * jnp.linalg.inv(cov) @ ((x_iid + 1.0).mean(0))
-    )
-    ref_iid = MultivariateNormal(
-        post_mean_iid, covariance_matrix=post_cov_iid
+    ref_iid = true_posterior_linear_gaussian_mvn_prior(
+        x_iid, -1.0 * jnp.ones(2), 0.3 * jnp.eye(2), jnp.zeros(2), jnp.eye(2)
     ).sample(jax.random.PRNGKey(3), (500,))
     from sbi_tpu.utils.metrics import c2st
 
