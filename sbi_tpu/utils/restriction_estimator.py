@@ -46,6 +46,7 @@ class RestrictionEstimator:
         self._net = _ClassifierNet(hidden_features, num_blocks)
         self._params = None
         self._theta_all = []
+        self._x_all = []
         self._label_all = []
         self._transform = None
 
@@ -53,8 +54,17 @@ class RestrictionEstimator:
         theta = jnp.asarray(theta, jnp.float32)
         is_valid, _, _ = handle_invalid_x(x, exclude_invalid_x=True)
         self._theta_all.append(theta)
+        self._x_all.append(jnp.asarray(x, jnp.float32))
         self._label_all.append(jnp.asarray(is_valid, jnp.float32))
         return self
+
+    def get_simulations(self):
+        """All appended (theta, x, is_valid) across rounds
+        (ref `restriction_estimator.py:262-283`)."""
+        theta = jnp.concatenate(self._theta_all)
+        x = jnp.concatenate(self._x_all)
+        is_valid = jnp.concatenate(self._label_all).astype(bool)
+        return theta, x, is_valid
 
     def train(
         self,

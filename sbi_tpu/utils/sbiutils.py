@@ -77,9 +77,62 @@ def z_score_stats(
     return mean, std
 
 
+def warn_if_invalid_for_zscoring(x: Array, outlier_iqr_factor: float = 10.0) -> None:
+    """Warn about data properties that degrade z-scoring.
+
+    Mirror of ``sbi/utils/sbiutils.py:39-123``: (1) a single sample gives
+    meaningless statistics, (2) constant features map to zero, (3) extreme
+    outliers (beyond ``outlier_iqr_factor`` IQRs from the quartiles — IQR is
+    robust to the outliers themselves) cause precision loss when distinct
+    values are squashed together. Host-side trace-time check on the training
+    batch; never runs inside jit.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    if x.ndim > 2:
+        x = x.reshape(x.shape[0], -1)
+    if x.shape[0] <= 1:
+        warnings.warn(
+            "Only one data sample provided. Z-scoring requires multiple samples "
+            "to compute meaningful statistics. Consider adding more simulations.",
+            UserWarning,
+            stacklevel=2,
+        )
+        return
+    std = x.std(axis=0)
+    constant_dims = np.where(std < 1e-14)[0]
+    if constant_dims.size > 0:
+        warnings.warn(
+            f"Data has constant values in dimension(s) {constant_dims.tolist()}. "
+            "These dimensions carry no information and will be mapped to zero "
+            "after z-scoring.",
+            UserWarning,
+            stacklevel=2,
+        )
+        return
+    q1 = np.quantile(x, 0.25, axis=0)
+    q3 = np.quantile(x, 0.75, axis=0)
+    iqr = q3 - q1
+    valid_iqr = iqr > 1e-14
+    if not valid_iqr.any():
+        return
+    lower = q1 - outlier_iqr_factor * iqr
+    upper = q3 + outlier_iqr_factor * iqr
+    outlier_dims = np.where(((x < lower) | (x > upper)).any(axis=0) & valid_iqr)[0]
+    if outlier_dims.size > 0:
+        warnings.warn(
+            f"Data has extreme outliers in dimension(s) {outlier_dims.tolist()} "
+            f"(beyond {outlier_iqr_factor}x IQR from quartiles). This may cause "
+            "precision loss during z-scoring, where distinct values become "
+            "indistinguishable. Consider removing outliers or z_score='none'.",
+            UserWarning,
+            stacklevel=2,
+        )
+
+
 def standardizing_transform(batch: Array, structured: bool = False):
     from .transforms import AffineTransform
 
+    warn_if_invalid_for_zscoring(batch)
     mean, std = z_score_stats(batch, structured)
     return AffineTransform(mean, std)
 
