@@ -197,6 +197,24 @@ def mmd(x, y, scale=None, squared: bool = False):
     return out if squared else jnp.sqrt(jnp.clip(out, 0.0))
 
 
+def biased_mmd_hypothesis_test(x: Array, y: Array, alpha: float = 0.05):
+    """(mmd, threshold) pair for the biased-MMD two-sample test
+    (ref `sbi/utils/metrics.py:277-282`); mmd < threshold accepts H0."""
+    assert x.shape[0] == y.shape[0]
+    mmd_biased = float(biased_mmd(x, y))
+    threshold = np.sqrt(2 / x.shape[0]) * (1 + np.sqrt(-2 * np.log(alpha)))
+    return mmd_biased, threshold
+
+
+def unbiased_mmd_squared_hypothesis_test(x: Array, y: Array, alpha: float = 0.05):
+    """(mmd^2, threshold) for the unbiased-MMD^2 two-sample test
+    (ref `sbi/utils/metrics.py:285-290`)."""
+    assert x.shape[0] == y.shape[0]
+    mmd_square_unbiased = float(unbiased_mmd_squared(x, y))
+    threshold = (4 / np.sqrt(x.shape[0])) * np.sqrt(-np.log(alpha))
+    return mmd_square_unbiased, threshold
+
+
 # ---------------------------------------------------------------------------
 # Sinkhorn Wasserstein-2 — ref `sbi/utils/metrics.py:293`
 # ---------------------------------------------------------------------------
@@ -205,23 +223,44 @@ def mmd(x, y, scale=None, squared: bool = False):
 def wasserstein_2_squared(
     x: Array, y: Array, epsilon: float = 1e-1, max_iter: int = 1000, tol: float = 1e-9
 ) -> Array:
-    """Entropy-regularized W2^2 via Sinkhorn iterations (jitted fixed loop)."""
+    """Entropy-regularized W2^2 via log-domain Sinkhorn (jitted fixed loop).
+
+    Mirror of `sbi/utils/metrics.py:293-438`: accepts (m, d)/(n, d) or
+    batched (B, m, d)/(B, n, d) inputs and returns () or (B,). The dual
+    (log-sum-exp) updates stay finite for any cost scale — a kernel-domain
+    `exp(-C/eps)` underflows to an all-zero coupling on well-separated
+    samples, silently reporting distance 0.
+    """
     x, y = jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32)
-    n, m = x.shape[0], y.shape[0]
-    C = _sq_dists(x, y)
-    mu = jnp.full((n,), 1.0 / n)
-    nu = jnp.full((m,), 1.0 / m)
-    K = jnp.exp(-C / epsilon)
+    assert x.ndim == y.ndim, "x and y must both be batched or both unbatched"
+    batched = x.ndim == 3
+    if not batched:
+        x, y = x[None], y[None]
+    n, m = x.shape[1], y.shape[1]
+    C = jnp.sum((x[:, :, None, :] - y[:, None, :, :]) ** 2, axis=-1)  # (B, n, m)
+    log_a = jnp.full((n,), -jnp.log(n))
+    log_b = jnp.full((m,), -jnp.log(m))
 
     def body(carry, _):
-        u, v = carry
-        u = mu / jnp.clip(K @ v, 1e-30)
-        v = nu / jnp.clip(K.T @ u, 1e-30)
-        return (u, v), None
+        f, g = carry
+        # f_i = -eps * LSE_j[(g_j - C_ij)/eps + log b_j], and symmetrically.
+        f = -epsilon * jax.scipy.special.logsumexp(
+            (g[:, None, :] - C) / epsilon + log_b[None, None, :], axis=2
+        )
+        g = -epsilon * jax.scipy.special.logsumexp(
+            (f[:, :, None] - C) / epsilon + log_a[None, :, None], axis=1
+        )
+        return (f, g), None
 
-    (u, v), _ = jax.lax.scan(body, (jnp.ones(n) / n, jnp.ones(m) / m), None, length=max_iter)
-    P = u[:, None] * K * v[None, :]
-    return jnp.sum(P * C)
+    init = (jnp.zeros((x.shape[0], n)), jnp.zeros((x.shape[0], m)))
+    (f, g), _ = jax.lax.scan(body, init, None, length=max_iter)
+    log_P = (
+        (f[:, :, None] + g[:, None, :] - C) / epsilon
+        + log_a[None, :, None]
+        + log_b[None, None, :]
+    )
+    out = jnp.sum(jnp.exp(log_P) * C, axis=(1, 2))
+    return out if batched else out[0]
 
 
 # ---------------------------------------------------------------------------
