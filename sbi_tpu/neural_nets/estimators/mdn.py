@@ -53,6 +53,114 @@ class MoG:
         L = self.precision_chols
         return L @ jnp.swapaxes(L, -1, -2)
 
+    @property
+    def weights(self) -> Array:
+        """Normalized mixture weights (B, K) (ref `mog.py` `weights`)."""
+        return jax.nn.softmax(self.logits, axis=-1)
+
+    @property
+    def dim(self) -> int:
+        return self.means.shape[-1]
+
+    @property
+    def num_components(self) -> int:
+        return self.means.shape[-2]
+
+    @property
+    def batch_shape(self):
+        return self.means.shape[:-2]
+
+    def validate(self) -> None:
+        """Raise on non-finite parameters or non-PD precisions.
+
+        The reference rejects these at construction (`mog.py` __post_init__);
+        here construction happens inside XLA traces where values are abstract,
+        so validation is an explicit host-side call on concrete MoGs.
+        """
+        import numpy as _np
+
+        logits = _np.asarray(self.logits)
+        means = _np.asarray(self.means)
+        chols = _np.asarray(self.precision_chols)
+        if _np.isnan(logits).any() or _np.isinf(logits).any():
+            raise ValueError("MoG logits contain NaN/Inf.")
+        if not _np.isfinite(means).all():
+            raise ValueError("MoG means contain NaN/Inf.")
+        if not _np.isfinite(chols).all():
+            raise ValueError("MoG precision factors contain NaN/Inf.")
+        diag = _np.diagonal(chols, axis1=-2, axis2=-1)
+        if (diag <= 0).any():
+            raise ValueError(
+                "MoG precision factors have non-positive diagonal "
+                "(precision not positive definite)."
+            )
+
+    def detach(self) -> "MoG":
+        """Stop gradients through all parameters (ref `mog.py` `detach`)."""
+        return MoG(
+            jax.lax.stop_gradient(self.logits),
+            jax.lax.stop_gradient(self.means),
+            jax.lax.stop_gradient(self.precision_chols),
+        )
+
+    @classmethod
+    def from_gaussian(cls, mean: Array, covariance: Array) -> "MoG":
+        """Single-component MoG from (mean, covariance) — used to fold a
+        Gaussian prior into MoG algebra (ref `mog.py` `from_gaussian`)."""
+        mean = jnp.atleast_2d(jnp.asarray(mean, jnp.float32))  # (B, D)
+        covariance = jnp.asarray(covariance, jnp.float32)
+        if covariance.ndim == 2:
+            covariance = covariance[None]
+        precision = jnp.linalg.inv(covariance)  # (B, D, D)
+        chol = jnp.linalg.cholesky(precision)
+        B = mean.shape[0]
+        return cls(jnp.zeros((B, 1)), mean[:, None, :], chol[:, None])
+
+    def condition(self, condition: Array, dims_to_sample) -> "MoG":
+        """Condition each component on the fixed dims; reweight by the exact
+        per-component marginal density of the fixed values.
+
+        Mirror of `mog.py` `condition` (conditional mean
+        ``mu_s - P_ss^{-1} P_sc (y - mu_c)``, conditional precision ``P_ss``);
+        the component reweighting here uses the *exact* marginal covariance
+        ``[P^{-1}]_cc`` rather than the reference's precision-factor
+        submatrix approximation.
+        """
+        B, K, D = self.means.shape
+        free = jnp.zeros(D, dtype=bool).at[jnp.asarray(dims_to_sample)].set(True)
+        free_idx = jnp.where(free)[0]
+        fixed_idx = jnp.where(~free)[0]
+        condition = jnp.atleast_2d(jnp.asarray(condition, jnp.float32))
+        y = condition[:, fixed_idx]  # (B, C)
+
+        P = self.precisions
+        P_ss = P[:, :, free_idx][:, :, :, free_idx]
+        P_sc = P[:, :, free_idx][:, :, :, fixed_idx]
+        mu_s = self.means[:, :, free_idx]
+        mu_c = self.means[:, :, fixed_idx]
+
+        diff_c = y[:, None, :] - mu_c  # (B, K, C)
+        adjustment = jnp.linalg.solve(
+            P_ss, jnp.einsum("bkij,bkj->bki", P_sc, diff_c)[..., None]
+        )[..., 0]
+        cond_means = mu_s - adjustment
+        cond_chols = jnp.linalg.cholesky(P_ss)
+
+        # Exact marginal of the fixed dims: Sigma_cc = [P^{-1}]_cc.
+        cov = jnp.linalg.inv(P)
+        cov_cc = cov[:, :, fixed_idx][:, :, :, fixed_idx]
+        sol = jnp.linalg.solve(cov_cc, diff_c[..., None])[..., 0]
+        quad = jnp.sum(diff_c * sol, axis=-1)  # (B, K)
+        _, logdet_cc = jnp.linalg.slogdet(cov_cc)
+        C = fixed_idx.shape[0]
+        log_marg = -0.5 * (C * _LOG_2PI + logdet_cc + quad)
+
+        new_logits = jax.nn.log_softmax(self.logits, axis=-1) + log_marg
+        new_logits = new_logits - jax.scipy.special.logsumexp(
+            new_logits, axis=-1, keepdims=True
+        )
+        return MoG(new_logits, cond_means, cond_chols)
+
     def log_prob(self, theta: Array) -> Array:
         """theta: (B, D) -> (B,)."""
         D = self.means.shape[-1]
