@@ -15,6 +15,12 @@ from ..estimators.ratio_estimators import (
 
 
 def _build(module, batch_theta, batch_x, z_score_theta, z_score_x, key):
+    from ...utils.sbiutils import assert_transform_to_unconstrained_supported
+
+    for flag in (z_score_theta, z_score_x):
+        assert_transform_to_unconstrained_supported(
+            flag, "classifier builders", "Use 'independent' or 'structured'."
+        )
     batch_theta = jnp.asarray(batch_theta, jnp.float32)
     batch_x = jnp.asarray(batch_x, jnp.float32)
     params = module.init(next_key(key), batch_theta[:2], batch_x[:2])

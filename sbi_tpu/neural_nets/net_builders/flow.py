@@ -24,10 +24,28 @@ from ..estimators.flows import (
 )
 
 
-def _transforms_for(batch, z_score):
-    if z_score in (None, "none", False):
+def _transforms_for(batch, z_score, dist=None):
+    """Input/condition reparametrization for a builder.
+
+    ``z_score="transform_to_unconstrained"`` derives the bijection from the
+    distribution's support (``mcmc_transform``) instead of batch statistics
+    (ref `sbi/neural_nets/net_builders/mdn.py:66-80`): the flow then models
+    the variable in unconstrained space and its samples land inside the
+    support by construction.
+    """
+    from ...utils.sbiutils import z_score_parser
+    from ...utils.transforms import mcmc_transform
+
+    if z_score == "transform_to_unconstrained":
+        if dist is None:
+            raise ValueError(
+                "x_dist must be provided when z_score='transform_to_unconstrained'."
+            )
+        return mcmc_transform(dist)
+    do_z, structured = z_score_parser(z_score)
+    if not do_z:
         return None
-    return standardizing_transform(batch, structured=(z_score == "structured"))
+    return standardizing_transform(batch, structured=structured)
 
 
 def _alternating_mask(dim: int, even: bool) -> np.ndarray:
@@ -43,11 +61,19 @@ def _build_flow_estimator(
     z_score_x="independent",
     embedding_net=None,
     key=None,
+    x_dist=None,
 ):
+    from ...utils.sbiutils import assert_transform_to_unconstrained_supported
+
     batch_theta = jnp.asarray(batch_theta, jnp.float32)
     batch_x = jnp.asarray(batch_x, jnp.float32)
     dim = batch_theta.shape[-1]
 
+    # `transform_to_unconstrained` applies to the estimator's INPUT (theta
+    # for posterior flows); the condition side z-scores as usual.
+    assert_transform_to_unconstrained_supported(
+        z_score_x, "flow condition", "Use 'independent' or 'structured' for x."
+    )
     module = FlowModule(
         dim=dim,
         layer_configs=tuple(layer_configs),
@@ -60,7 +86,7 @@ def _build_flow_estimator(
         params=params,
         input_shape=(dim,),
         condition_shape=tuple(batch_x.shape[1:]),
-        input_transform=_transforms_for(batch_theta, z_score_theta),
+        input_transform=_transforms_for(batch_theta, z_score_theta, x_dist),
         condition_transform=_transforms_for(batch_x, z_score_x),
     )
 
@@ -93,7 +119,8 @@ def build_maf(
         if dim > 1:
             configs.append(("permutation", dict(perm=tuple(range(dim - 1, -1, -1)))))
     return _build_flow_estimator(
-        batch_theta, batch_x, configs, z_score_theta, z_score_x, embedding_net, key
+        batch_theta, batch_x, configs, z_score_theta, z_score_x, embedding_net, key,
+        x_dist=kwargs.get("x_dist"),
     )
 
 
@@ -129,7 +156,8 @@ def build_maf_rqs(
         if dim > 1:
             configs.append(("permutation", dict(perm=tuple(range(dim - 1, -1, -1)))))
     return _build_flow_estimator(
-        batch_theta, batch_x, configs, z_score_theta, z_score_x, embedding_net, key
+        batch_theta, batch_x, configs, z_score_theta, z_score_x, embedding_net, key,
+        x_dist=kwargs.get("x_dist"),
     )
 
 
@@ -210,7 +238,8 @@ def build_nsf(
             )
             configs.append(("lu_linear", {}))
     return _build_flow_estimator(
-        batch_theta, batch_x, configs, z_score_theta, z_score_x, embedding_net, key
+        batch_theta, batch_x, configs, z_score_theta, z_score_x, embedding_net, key,
+        x_dist=kwargs.get("x_dist"),
     )
 
 
@@ -329,7 +358,8 @@ def build_zuko_nice(
         )
         configs.append(("lu_linear", {}))
     return _build_flow_estimator(
-        batch_theta, batch_x, configs, z_score_theta, z_score_x, embedding_net, key
+        batch_theta, batch_x, configs, z_score_theta, z_score_x, embedding_net, key,
+        x_dist=kwargs.get("x_dist"),
     )
 
 
@@ -425,7 +455,7 @@ def _monotone_builder(transform: str, default_transforms: int = 3):
                 )
         return _build_flow_estimator(
             batch_theta, batch_x, configs, z_score_theta, z_score_x,
-            embedding_net, key,
+            embedding_net, key, x_dist=kwargs.get("x_dist"),
         )
 
     return builder

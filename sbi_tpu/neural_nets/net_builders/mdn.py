@@ -30,16 +30,16 @@ def build_mdn(
     batch_x = jnp.asarray(batch_x, jnp.float32)
     theta_dim = batch_theta.shape[-1]
 
-    input_transform = (
-        standardizing_transform(batch_theta, structured=(z_score_theta == "structured"))
-        if z_score_theta not in (None, "none", False)
-        else None
+    from ...utils.sbiutils import assert_transform_to_unconstrained_supported
+    from .flow import _transforms_for
+
+    assert_transform_to_unconstrained_supported(
+        z_score_x, "build_mdn condition", "Use 'independent' or 'structured' for x."
     )
-    condition_transform = (
-        standardizing_transform(batch_x, structured=(z_score_x == "structured"))
-        if z_score_x not in (None, "none", False)
-        else None
+    input_transform = _transforms_for(
+        batch_theta, z_score_theta, kwargs.get("x_dist")
     )
+    condition_transform = _transforms_for(batch_x, z_score_x)
 
     module = MDNModule(
         theta_dim=theta_dim,

@@ -197,6 +197,11 @@ def _make_net(net, dim, hidden_features, embedding_net, **kwargs):
 
 
 def _transforms(batch, z_score):
+    from ...utils.sbiutils import assert_transform_to_unconstrained_supported
+
+    assert_transform_to_unconstrained_supported(
+        z_score, "vector-field builders", "Use 'independent' or 'structured'."
+    )
     if z_score in (None, "none", False):
         return None
     return standardizing_transform(batch, structured=(z_score == "structured"))

@@ -77,6 +77,46 @@ def z_score_stats(
     return mean, std
 
 
+def z_score_parser(z_score_flag=None) -> Tuple[bool, bool]:
+    """Parse the z-score flag into (do_z_score, structured) booleans.
+
+    Mirror of `sbi/utils/sbiutils.py:154-200`: accepts None/"none",
+    "independent", "structured", or "transform_to_unconstrained" (handled by
+    the builder itself, so returns (False, False)); booleans are deprecated;
+    anything else raises.
+    """
+    if isinstance(z_score_flag, bool):
+        warnings.warn(
+            "Boolean flag for z-scoring is deprecated. Use 'none', "
+            "'independent', or 'structured'.",
+            stacklevel=2,
+        )
+        return z_score_flag, False
+    if z_score_flag is None or z_score_flag == "none":
+        return False, False
+    if z_score_flag in ("independent", "structured"):
+        return True, z_score_flag == "structured"
+    if z_score_flag == "transform_to_unconstrained":
+        return False, False
+    raise ValueError(
+        "Invalid z-scoring option. Use 'none', 'independent', 'structured' "
+        "or 'transform_to_unconstrained'."
+    )
+
+
+def assert_transform_to_unconstrained_supported(
+    z_score_flag, builder_name: str, suggestion: str = ""
+) -> None:
+    """Raise when a builder without `transform_to_unconstrained` support
+    receives that flag — a silent no-op otherwise
+    (ref `sbi/utils/sbiutils.py:202-233`)."""
+    if z_score_flag == "transform_to_unconstrained":
+        raise ValueError(
+            f"`z_score='transform_to_unconstrained'` is not supported by "
+            f"`{builder_name}`. {suggestion}"
+        )
+
+
 def warn_if_invalid_for_zscoring(x: Array, outlier_iqr_factor: float = 10.0) -> None:
     """Warn about data properties that degrade z-scoring.
 

@@ -258,3 +258,66 @@ def _cnf_step(p, o, loss, tx):
     g = jax.grad(loss)(p)
     up, o = tx.update(g, o, p)
     return optax.apply_updates(p, up), o
+
+
+# ---------------------------------------------------------------------------
+# Full-zoo shape matrix (counterpart of the reference
+# `density_estimator_test.py:148-280` builder x event-shape parametrization)
+# ---------------------------------------------------------------------------
+
+FULL_ZOO = [
+    "mdn", "made", "maf", "maf_rqs", "nsf", "zuko_nice", "zuko_maf",
+    "zuko_nsf", "zuko_ncsf", "zuko_bpf", "zuko_gf", "zuko_naf",
+    "zuko_unaf", "zuko_sospf", "zuko_cnf",
+]
+
+
+@pytest.mark.parametrize("name", FULL_ZOO)
+@pytest.mark.parametrize("dt", (1, 3))
+def test_full_zoo_shape_contract(name, dt):
+    """Every factory name obeys the (sample, batch, event) contract for
+    1-D and multi-D events, including batch_dim=1."""
+    from sbi_tpu.neural_nets.factory import posterior_nn
+
+    theta, x = _data(n=64, dt=dt)
+    est = posterior_nn(name, hidden_features=16, num_transforms=2)(theta, x)
+
+    lp = est.log_prob(theta[:6].reshape(2, 3, dt), x[:3])
+    assert lp.shape == (2, 3) and bool(jnp.isfinite(lp).all())
+    s = est.sample((4,), x[:3], key=jax.random.PRNGKey(0))
+    assert s.shape == (4, 3, dt) and bool(jnp.isfinite(s).all())
+    loss = est.loss(theta[:8], x[:8])
+    assert loss.shape == (8,) and bool(jnp.isfinite(loss).all())
+    # batch_dim = 1 edge case.
+    lp1 = est.log_prob(theta[:1].reshape(1, 1, dt), x[:1])
+    assert lp1.shape == (1, 1)
+    s1 = est.sample((2,), x[:1], key=jax.random.PRNGKey(1))
+    assert s1.shape == (2, 1, dt)
+
+
+@pytest.mark.parametrize("name", ["mdn", "maf", "nsf"])
+def test_batched_log_prob_matches_loop(name):
+    """Batched evaluation must equal row-by-row evaluation (no cross-row
+    leakage through batch statistics)."""
+    theta, x = _data(n=64)
+    est = BUILDERS[name](theta, x)
+    batched = np.asarray(est.log_prob(theta[:5].reshape(1, 5, -1), x[:5]))[0]
+    looped = np.array([
+        float(np.asarray(est.log_prob(theta[i : i + 1].reshape(1, 1, -1),
+                                      x[i : i + 1]))[0, 0])
+        for i in range(5)
+    ])
+    assert np.allclose(batched, looped, atol=1e-4), (batched, looped)
+
+
+@pytest.mark.parametrize("name", ["mdn", "maf", "nsf"])
+def test_log_prob_condition_permutation_equivariance(name):
+    """Permuting condition rows permutes the log-probs identically."""
+    theta, x = _data(n=64)
+    est = BUILDERS[name](theta, x)
+    perm = np.array([3, 0, 4, 1, 2])
+    lp = np.asarray(est.log_prob(theta[:5].reshape(1, 5, -1), x[:5]))[0]
+    lp_perm = np.asarray(
+        est.log_prob(theta[perm].reshape(1, 5, -1), x[perm])
+    )[0]
+    assert np.allclose(lp[perm], lp_perm, atol=1e-5)

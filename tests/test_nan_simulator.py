@@ -222,3 +222,68 @@ def test_restricted_prior_log_prob(prior_kind):
     probs = jnp.exp(restricted_prior.log_prob(grid, normalize=True))
     integral = float(jnp.nan_to_num(probs, posinf=0.0).sum() * cell)
     assert 0.8 < integral < 1.2, f"normalized integral {integral}"
+
+
+# ---------------------------------------------------------------------------
+# z-score flag parsing and the transform_to_unconstrained option
+# (ref `sbiutils_test.py:407-614`)
+# ---------------------------------------------------------------------------
+
+
+def test_z_score_parser():
+    from sbi_tpu.utils import z_score_parser
+
+    assert z_score_parser(None) == (False, False)
+    assert z_score_parser("none") == (False, False)
+    assert z_score_parser("independent") == (True, False)
+    assert z_score_parser("structured") == (True, True)
+    assert z_score_parser("transform_to_unconstrained") == (False, False)
+    with pytest.warns(UserWarning, match="deprecated"):
+        assert z_score_parser(True) == (True, False)
+    with pytest.raises(ValueError, match="Invalid z-scoring"):
+        z_score_parser("bogus")
+
+
+@pytest.mark.parametrize("model", ["maf", "nsf", "mdn"])
+def test_transform_to_unconstrained_builders(model):
+    """z_score_theta='transform_to_unconstrained' + x_dist: the estimator
+    models theta in unconstrained space and its samples land inside the
+    prior's support by construction (ref `net_builders/mdn.py:66-80`)."""
+    from sbi_tpu.neural_nets.factory import posterior_nn
+
+    seed_all_backends(0)
+    prior = BoxUniform(-2.0 * jnp.ones(2), 2.0 * jnp.ones(2))
+    theta = prior.sample(jax.random.PRNGKey(0), (256,))
+    x = theta + 0.1 * jax.random.normal(jax.random.PRNGKey(1), theta.shape)
+    est = posterior_nn(
+        model, z_score_theta="transform_to_unconstrained", x_dist=prior,
+        hidden_features=16, num_transforms=2,
+    )(theta, x)
+
+    lp = est.log_prob(theta[:6].reshape(2, 3, -1), x[:3])
+    assert lp.shape == (2, 3) and bool(jnp.isfinite(lp).all())
+    s = est.sample((64,), x[:3], key=jax.random.PRNGKey(2))
+    assert bool((jnp.abs(s) <= 2.0 + 1e-4).all()), "samples escaped the support"
+    # density integrates against the support: outside points get -inf-ish
+    outside = jnp.asarray([[3.0, 0.0]])
+    lp_out = est.log_prob(outside.reshape(1, 1, -1), x[:1])
+    assert float(lp_out[0, 0]) < float(lp[0, 0])
+
+
+def test_transform_to_unconstrained_requires_dist_and_guards():
+    from sbi_tpu.neural_nets.factory import classifier_nn, posterior_nn
+    from sbi_tpu.neural_nets.net_builders.vector_field_nets import (
+        build_flow_matching_estimator,
+    )
+
+    theta = jax.random.normal(jax.random.PRNGKey(0), (64, 2))
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 2))
+    with pytest.raises(ValueError, match="x_dist"):
+        posterior_nn("maf", z_score_theta="transform_to_unconstrained")(theta, x)
+    # unsupported builders raise loudly instead of silently ignoring the flag.
+    with pytest.raises(ValueError, match="not supported"):
+        classifier_nn("resnet", z_score_theta="transform_to_unconstrained")(theta, x)
+    with pytest.raises(ValueError, match="not supported"):
+        build_flow_matching_estimator(
+            theta, x, z_score_theta="transform_to_unconstrained"
+        )
