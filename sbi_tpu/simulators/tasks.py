@@ -159,6 +159,46 @@ def gaussian_mixture_simulator(
     return x.reshape(n, num_trials * d) if num_trials > 1 else x[:, 0, :]
 
 
+def gaussian_mixture_log_likelihood(theta: Array, x: Array) -> Array:
+    """log[0.5 N(x; theta, I) + 0.5 N(x; theta, 0.01 I)]; theta (..., d),
+    x (d,) fixed observation -> (...,)."""
+    theta = jnp.asarray(theta, jnp.float32)
+    x = jnp.asarray(x, jnp.float32).reshape(-1)
+    d = x.shape[0]
+    sq = jnp.sum((x - theta) ** 2, axis=-1)
+    log_wide = -0.5 * (d * jnp.log(2 * jnp.pi) + sq)
+    log_narrow = -0.5 * (d * jnp.log(2 * jnp.pi * 0.01) + sq / 0.01)
+    return jnp.logaddexp(log_wide, log_narrow) + jnp.log(0.5)
+
+
+def gaussian_mixture_reference_samples(
+    x_o: Array, num_samples: int, key: Optional[Array] = None, bound: float = 10.0
+) -> Array:
+    """Exact posterior draws for the gaussian_mixture task.
+
+    The likelihood depends on theta only through ``x - theta``, so under the
+    box-uniform prior the posterior is the same two-component mixture
+    *centered at x_o*, truncated to the box: sample the component, draw the
+    Gaussian, reject outside the box.
+    """
+    key = next_key(key)
+    x_o = jnp.asarray(x_o, jnp.float32).reshape(-1)
+    d = x_o.shape[0]
+    out = []
+    total = 0
+    while total < num_samples:
+        key, kb, kn = jax.random.split(key, 3)
+        n_draw = max(2 * num_samples, 1000)
+        wide = jax.random.bernoulli(kb, 0.5, (n_draw,))
+        std = jnp.where(wide, 1.0, 0.1)
+        cand = x_o[None] + std[:, None] * jax.random.normal(kn, (n_draw, d))
+        ok = jnp.all(jnp.abs(cand) <= bound, axis=-1)
+        acc = cand[ok]
+        out.append(acc)
+        total += int(acc.shape[0])
+    return jnp.concatenate(out)[:num_samples]
+
+
 # ---------------------------------------------------------------------------
 # Task registry
 # ---------------------------------------------------------------------------
@@ -241,6 +281,8 @@ def get_task(name: str) -> Task:
             simulator=gaussian_mixture_simulator,
             theta_dim=2,
             x_dim=2,
+            reference_sampler=gaussian_mixture_reference_samples,
+            log_likelihood=gaussian_mixture_log_likelihood,
         )
     raise ValueError(f"Unknown task {name}")
 

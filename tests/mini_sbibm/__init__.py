@@ -4,6 +4,12 @@ samples, used by the --bm benchmark harness."""
 
 from .base_task import BenchTask, get_bench_task
 
-ALL_BENCH_TASKS = ("two_moons", "linear_mvg_2d", "gaussian_linear", "slcp")
+ALL_BENCH_TASKS = (
+    "two_moons",
+    "linear_mvg_2d",
+    "gaussian_linear",
+    "slcp",
+    "gaussian_mixture",
+)
 
 __all__ = ["BenchTask", "get_bench_task", "ALL_BENCH_TASKS"]

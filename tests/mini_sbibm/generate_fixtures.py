@@ -68,7 +68,7 @@ def gen_slcp():
 
 def main():
     os.makedirs(FILES_DIR, exist_ok=True)
-    for name in ("two_moons", "linear_mvg_2d", "gaussian_linear"):
+    for name in ("two_moons", "linear_mvg_2d", "gaussian_linear", "gaussian_mixture"):
         o, t, r = gen_analytic(name)
         np.savez_compressed(
             os.path.join(FILES_DIR, f"{name}.npz"),

@@ -100,3 +100,32 @@ def test_slcp_nuts_matches_reference_fixtures():
     # this target (measured 0.65/0.65). The strict <0.6 bar stays with the
     # FSM slice test above, whose wide brackets do traverse modes.
     assert max(scores) < 0.70, f"slcp NUTS vs reference fixtures: {scores}"
+
+
+def test_gaussian_mixture_fsm_slice_matches_analytic_fixture():
+    """gaussian_mixture: FSM slice on the exact two-scale mixture likelihood
+    must match the analytic (component + Gaussian, box-truncated) reference
+    sampler that generated the committed fixture. Cross-validates both."""
+    seed_all_backends(0)
+    bench = get_bench_task("gaussian_mixture")
+    task = get_task("gaussian_mixture")
+    tt = mcmc_transform(task.prior)
+    scores = []
+    for idx in range(2):
+        x_o = bench.get_observation(idx)[0]
+        ref = bench.get_reference_posterior_samples(idx)[:NUM_SAMPLES]
+
+        def potential(theta, x_o=x_o):
+            return task.log_likelihood(theta, x_o) + task.prior.log_prob(theta)
+
+        pot_u = transformed_potential(potential, tt)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(300 + idx))
+        inits = tt.forward(
+            x_o[None] + 0.5 * jax.random.normal(k1, (100, 2))
+        )
+        draws_u = run_slice_vectorized(
+            pot_u, inits, num_samples=40, thin=4, warmup_steps=300, key=k2
+        )
+        ours = tt.inverse(draws_u.reshape(-1, 2))[:NUM_SAMPLES]
+        scores.append(float(c2st(ours, ref)))
+    assert max(scores) < 0.6, f"gaussian_mixture slice vs analytic: {scores}"
