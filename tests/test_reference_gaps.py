@@ -1,0 +1,134 @@
+"""Functional tests for components that previously had import-only
+coverage: the different-dims linear-Gaussian variant (ref
+`tests/linearGaussian_snpe_test.py` different-dims case, simulator at
+`sbi/simulators/linear_gaussian.py:155`), `get_density_thresholder`
+(ref `sbi/utils/restriction_estimator.py:484`), `conditional_potential`
+(ref `sbi/analysis/__init__.py` export), and `ImproperEmpirical`
+(ref `sbi/utils/sbiutils.py:956`)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sbi_tpu.analysis import conditional_potential
+from sbi_tpu.inference import NPE
+from sbi_tpu.simulators.linear_gaussian import (
+    linear_gaussian,
+    samples_true_posterior_linear_gaussian_mvn_prior_different_dims,
+)
+from sbi_tpu.utils import ImproperEmpirical, get_density_thresholder
+from sbi_tpu.utils.distributions import MultivariateNormal
+from sbi_tpu.utils.metrics import check_c2st
+from sbi_tpu.utils.sbiutils import seed_all_backends
+
+
+@pytest.mark.slow
+def test_c2st_npe_different_dims():
+    """theta 2-D, x 3-D (last dim pure noise): NPE must learn to ignore
+    the uninformative dim; C2ST vs the analytic posterior conditioned on
+    the informative dims only."""
+    seed_all_backends(0)
+    num_dim, num_discarded = 2, 1
+    num_samples, num_simulations = 1000, 2600
+    likelihood_shift = -1.0 * jnp.ones(num_dim)
+    likelihood_cov = 0.3 * jnp.eye(num_dim)
+    prior = MultivariateNormal(
+        jnp.zeros(num_dim), covariance_matrix=jnp.eye(num_dim)
+    )
+
+    def simulator(theta, key):
+        k1, k2 = jax.random.split(key)
+        x_inf = linear_gaussian(theta, likelihood_shift, likelihood_cov, key=k1)
+        noise = jax.random.normal(k2, (theta.shape[0], num_discarded))
+        return jnp.concatenate([x_inf, noise], axis=1)
+
+    x_o = jnp.zeros((1, num_dim + num_discarded))
+    target_samples = samples_true_posterior_linear_gaussian_mvn_prior_different_dims(
+        x_o, likelihood_shift, likelihood_cov, jnp.zeros(num_dim),
+        jnp.eye(num_dim), num_discarded, num_samples,
+        key=jax.random.PRNGKey(3),
+    )
+
+    theta = prior.sample(jax.random.PRNGKey(0), (num_simulations,))
+    x = simulator(theta, jax.random.PRNGKey(1))
+    assert x.shape == (num_simulations, num_dim + num_discarded)
+
+    inference = NPE(prior=prior)
+    inference.append_simulations(theta, x).train(training_batch_size=100)
+    posterior = inference.build_posterior().set_default_x(x_o)
+    samples = posterior.sample((num_samples,), key=jax.random.PRNGKey(2))
+    check_c2st(samples, target_samples, alg="npe-different-dims")
+
+
+def test_get_density_thresholder():
+    """accept_fn keeps the high-density region: bulk samples accepted,
+    far-tail points rejected."""
+    seed_all_backends(0)
+    dist = MultivariateNormal(jnp.zeros(2), covariance_matrix=jnp.eye(2))
+
+    class _Posterior:
+        def sample(self, shape, key=None):
+            return dist.sample(key, shape)
+
+        def log_prob(self, theta):
+            return dist.log_prob(theta)
+
+    accept_fn = get_density_thresholder(
+        _Posterior(), quantile=1e-2, num_samples_to_estimate_support=20_000,
+        key=jax.random.PRNGKey(0),
+    )
+    bulk = dist.sample(jax.random.PRNGKey(1), (500,))
+    accepted = accept_fn(bulk)
+    assert accepted.shape == (500,)
+    # By construction ~1% of posterior mass falls below the threshold.
+    assert float(accepted.mean()) > 0.95
+    far = 10.0 * jnp.ones((3, 2))
+    assert float(accept_fn(far).sum()) == 0.0
+
+
+def test_conditional_potential_matches_fixed_slice():
+    """Conditioning a potential on fixed dims equals evaluating the full
+    potential with those dims pinned to the condition."""
+    cov = jnp.array([[1.0, 0.6, 0.0], [0.6, 2.0, 0.3], [0.0, 0.3, 0.5]])
+    dist = MultivariateNormal(jnp.arange(3.0), covariance_matrix=cov)
+
+    def potential_fn(theta):
+        return dist.log_prob(theta)
+
+    condition = jnp.array([0.5, -1.0, 2.0])
+    cond_pot = conditional_potential(
+        potential_fn, theta_transform=None, prior=dist,
+        condition=condition, dims_to_sample=[0, 2],
+    )
+    theta_sub = jnp.array([[0.1, 0.2], [1.5, -0.7]])
+    got = cond_pot(theta_sub)
+    full = jnp.stack([
+        jnp.array([0.1, -1.0, 0.2]), jnp.array([1.5, -1.0, -0.7])
+    ])
+    expected = potential_fn(full)
+    assert jnp.allclose(got, expected, atol=1e-5)
+
+
+def test_improper_empirical():
+    """ImproperEmpirical: uniform log-prob (zeros), weighted resampling,
+    weighted mean/variance."""
+    samples = jnp.array([[0.0, 0.0], [1.0, 1.0], [2.0, 4.0]])
+    log_w = jnp.log(jnp.array([0.2, 0.3, 0.5]))
+    emp = ImproperEmpirical(samples, log_weights=log_w)
+
+    lp = emp.log_prob(jnp.ones((7, 2)))
+    assert lp.shape == (7,)
+    assert bool((lp == 0.0).all())
+
+    draws = emp.sample(jax.random.PRNGKey(0), (5000,))
+    assert draws.shape == (5000, 2)
+    # Every draw is one of the particles; frequencies match the weights.
+    frac_third = float((draws[:, 1] == 4.0).mean())
+    assert abs(frac_third - 0.5) < 0.03
+
+    assert jnp.allclose(emp.mean, jnp.array([1.3, 2.3]), atol=1e-5)
+    expected_var = jnp.array(
+        [0.2 * 1.3**2 + 0.3 * 0.3**2 + 0.5 * 0.7**2,
+         0.2 * 2.3**2 + 0.3 * 1.3**2 + 0.5 * 1.7**2]
+    )
+    assert jnp.allclose(emp.variance, expected_var, atol=1e-4)
