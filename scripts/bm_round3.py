@@ -397,7 +397,46 @@ def run_npe_gl_tuned(num_simulations=10000, model="nsf", **est_kw):
     return scores
 
 
+class _SymmetrizedTheta:
+    """theta-embedding exploiting SLCP's exact likelihood structure: per
+    trial x ~ N(m(theta), S(theta)) with m = theta[:2], s1 = theta[2]^2,
+    s2 = theta[3]^2, rho = tanh(theta[4]) — invariant under sign flips of
+    theta[2] and theta[3]. Mapping those dims to their squares enforces
+    the invariance exactly (no information loss) and removes the |.|
+    kink the MLP head otherwise has to learn from data."""
+
+    def __init__(self):
+        import flax.linen as nn
+
+        class _Sym(nn.Module):
+            @nn.compact
+            def __call__(self, theta):
+                # Analytic standardization for the SLCP Uniform[-3,3]^5
+                # prior (condition z-scoring is off so the squares see raw
+                # theta): std(theta)=sqrt(3); theta^2 has mean 3, std 2.68.
+                return jnp.concatenate(
+                    [theta[..., :2] / 1.732,
+                     (theta[..., 2:4] ** 2 - 3.0) / 2.683,
+                     theta[..., 4:] / 1.732],
+                    axis=-1,
+                )
+
+        self.module = _Sym()
+
+    def __call__(self, *a, **k):
+        return self.module(*a, **k)
+
+
 EXPERIMENTS = {
+    # The ~0.03 residual of poe16 over the 0.49 sampler floor is head
+    # bias (STATUS.md known gaps): bake the known theta2/theta3 sign
+    # symmetry into the condition embedding and re-run the 2M PoE.
+    "poe16_sym_2m": (lambda: run_poe_vmapped_slcp(
+        125_000, n_members=16, rounds=1, model="mdn", num_components=2,
+        scale_parameterization="log", num_layers=5, hidden_features=256,
+        batch_size=1024, embedding_net=_SymmetrizedTheta().module,
+        z_score_theta=None, ckpt_dir="/tmp/poe_sym_ckpt"),
+        "nle-gauss-poe16-sym-2m", "slcp", 2_000_000),
     "poe16_slcp": (lambda: run_poe_vmapped_slcp(
         20000, n_members=16, ckpt_dir="/tmp/poe_slcp_ckpt_r1"),
         "nle-iid-poe16", "slcp", 20000),
