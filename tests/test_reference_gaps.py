@@ -132,3 +132,37 @@ def test_improper_empirical():
          0.2 * 2.3**2 + 0.3 * 1.3**2 + 0.5 * 1.7**2]
     )
     assert jnp.allclose(emp.variance, expected_var, atol=1e-4)
+
+
+def test_embedding_net_sees_raw_condition_when_zscore_off():
+    """Contract: with condition z-scoring disabled, a user embedding_net
+    is applied to the RAW condition — so symmetry-enforcing embeddings
+    (e.g. squaring dims whose sign the likelihood ignores, as in SLCP)
+    are exactly invariant. Guards the poe16_sym SLCP pipeline."""
+    import flax.linen as nn
+
+    from sbi_tpu.inference import NLE_A
+    from sbi_tpu.neural_nets.factory import likelihood_nn
+    from sbi_tpu.utils.distributions import BoxUniform
+
+    class _Square(nn.Module):
+        @nn.compact
+        def __call__(self, theta):
+            return theta**2
+
+    seed_all_backends(0)
+    prior = BoxUniform(-3.0 * jnp.ones(3), 3.0 * jnp.ones(3))
+    theta = prior.sample(jax.random.PRNGKey(0), (200,))
+    x = jax.random.normal(jax.random.PRNGKey(1), (200, 2))
+    inf = NLE_A(prior=prior, density_estimator=likelihood_nn(
+        "mdn", num_components=2, hidden_features=32, num_layers=2,
+        embedding_net=_Square(), z_score_theta=None,
+    ))
+    inf.append_simulations(theta, x).train(
+        max_num_epochs=2, training_batch_size=100
+    )
+    est = inf._neural_net
+    lp = est.log_prob(x[:8], theta[:8])
+    lp_flip = est.log_prob(x[:8], -theta[:8])
+    assert bool(jnp.isfinite(lp).all())
+    assert jnp.allclose(lp, lp_flip, atol=1e-5)
