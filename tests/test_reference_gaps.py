@@ -166,3 +166,50 @@ def test_embedding_net_sees_raw_condition_when_zscore_off():
     lp_flip = est.log_prob(x[:8], -theta[:8])
     assert bool(jnp.isfinite(lp).all())
     assert jnp.allclose(lp, lp_flip, atol=1e-5)
+
+
+def test_posterior_parameters_validation_and_dispatch():
+    """PosteriorParameters dataclasses validate in __post_init__ and
+    build_posterior(posterior_parameters=...) dispatches on the instance
+    type (ref `posterior_parameters.py:112-363`, `trainers/base.py:668-725`)."""
+    from sbi_tpu.inference.posteriors.posterior_parameters import (
+        DirectPosteriorParameters,
+        ImportanceSamplingPosteriorParameters,
+        MCMCPosteriorParameters,
+        RejectionPosteriorParameters,
+        VectorFieldPosteriorParameters,
+    )
+    from sbi_tpu.inference.posteriors.direct_posterior import DirectPosterior
+    from sbi_tpu.utils.distributions import BoxUniform
+
+    with pytest.raises(ValueError):
+        DirectPosteriorParameters(max_sampling_batch_size=0)
+    with pytest.raises(ValueError):
+        MCMCPosteriorParameters(num_chains=0)
+    with pytest.raises(ValueError):
+        MCMCPosteriorParameters(thin=0)
+    with pytest.raises(ValueError):
+        RejectionPosteriorParameters(m=0.5)
+    with pytest.raises(ValueError):
+        ImportanceSamplingPosteriorParameters(method="nope")
+    with pytest.raises(ValueError):
+        VectorFieldPosteriorParameters(sample_with="mcmc")
+
+    from sbi_tpu.inference import NPE
+
+    seed_all_backends(0)
+    prior = BoxUniform(-2.0 * jnp.ones(2), 2.0 * jnp.ones(2))
+    theta = prior.sample(jax.random.PRNGKey(0), (300,))
+    x = theta + 0.1 * jax.random.normal(jax.random.PRNGKey(1), theta.shape)
+    inf = NPE(prior=prior)
+    inf.append_simulations(theta, x).train(
+        max_num_epochs=2, training_batch_size=100
+    )
+    post = inf.build_posterior(
+        posterior_parameters=DirectPosteriorParameters(
+            max_sampling_batch_size=1234
+        )
+    )
+    assert isinstance(post, DirectPosterior)
+    s = post.sample((50,), x=jnp.zeros(2), key=jax.random.PRNGKey(2))
+    assert s.shape == (50, 2)
