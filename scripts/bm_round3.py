@@ -427,6 +427,30 @@ class _SymmetrizedTheta:
         return self.module(*a, **k)
 
 
+class _SymmetrizedThetaV2:
+    """V1 plus |theta| features: squares have zero gradient at theta=0,
+    which cost obs 0 (posterior mass near zero scales) 0.52->0.57 in the
+    poe16_sym run; |theta| is equally sign-invariant but stays
+    first-order sensitive at 0. Standardization is analytic for the
+    U[-3,3] prior: E|t|=1.5, std|t|=0.866."""
+
+    def __init__(self):
+        import flax.linen as nn
+
+        class _SymV2(nn.Module):
+            @nn.compact
+            def __call__(self, theta):
+                return jnp.concatenate(
+                    [theta[..., :2] / 1.732,
+                     (theta[..., 2:4] ** 2 - 3.0) / 2.683,
+                     (jnp.abs(theta[..., 2:4]) - 1.5) / 0.866,
+                     theta[..., 4:] / 1.732],
+                    axis=-1,
+                )
+
+        self.module = _SymV2()
+
+
 EXPERIMENTS = {
     # The ~0.03 residual of poe16 over the 0.49 sampler floor is head
     # bias (STATUS.md known gaps): bake the known theta2/theta3 sign
@@ -437,6 +461,12 @@ EXPERIMENTS = {
         batch_size=1024, embedding_net=_SymmetrizedTheta().module,
         z_score_theta=None, ckpt_dir="/tmp/poe_sym_ckpt"),
         "nle-gauss-poe16-sym-2m", "slcp", 2_000_000),
+    "poe16_sym2_2m": (lambda: run_poe_vmapped_slcp(
+        125_000, n_members=16, rounds=1, model="mdn", num_components=2,
+        scale_parameterization="log", num_layers=5, hidden_features=256,
+        batch_size=1024, embedding_net=_SymmetrizedThetaV2().module,
+        z_score_theta=None, ckpt_dir="/tmp/poe_sym2_ckpt"),
+        "nle-gauss-poe16-sym2-2m", "slcp", 2_000_000),
     "poe16_slcp": (lambda: run_poe_vmapped_slcp(
         20000, n_members=16, ckpt_dir="/tmp/poe_slcp_ckpt_r1"),
         "nle-iid-poe16", "slcp", 20000),
