@@ -146,6 +146,16 @@ class LikelihoodEstimatorTrainer(NeuralInference):
         if estimator is None:
             raise ValueError("Run `.train()` first or pass a density_estimator.")
 
+        if posterior_parameters is not None:
+            from ...posteriors.posterior_parameters import (
+                build_posterior_from_parameters,
+            )
+
+            self._posterior = build_posterior_from_parameters(
+                posterior_parameters, estimator, prior, kind="nle"
+            )
+            return self._posterior
+
         potential_fn, theta_transform = likelihood_estimator_based_potential(
             estimator, prior, x_o=None
         )

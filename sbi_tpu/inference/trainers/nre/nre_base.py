@@ -143,6 +143,17 @@ class RatioEstimatorTrainer(NeuralInference):
         estimator = estimator.snapshot() if hasattr(estimator, "snapshot") else estimator
         if estimator is None:
             raise ValueError("Run `.train()` first or pass a ratio_estimator.")
+
+        if posterior_parameters is not None:
+            from ...posteriors.posterior_parameters import (
+                build_posterior_from_parameters,
+            )
+
+            self._posterior = build_posterior_from_parameters(
+                posterior_parameters, estimator, prior, kind="nre"
+            )
+            return self._posterior
+
         potential_fn, theta_transform = ratio_estimator_based_potential(
             estimator, prior, x_o=None
         )

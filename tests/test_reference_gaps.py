@@ -213,3 +213,34 @@ def test_posterior_parameters_validation_and_dispatch():
     assert isinstance(post, DirectPosterior)
     s = post.sample((50,), x=jnp.zeros(2), key=jax.random.PRNGKey(2))
     assert s.shape == (50, 2)
+
+
+def test_mcmc_posterior_parameters_dispatch_via_nle():
+    """MCMCPosteriorParameters flows through NLE build_posterior into an
+    MCMCPosterior with the configured chains/warmup (ref
+    `trainers/base.py:668-725` dispatch)."""
+    from sbi_tpu.inference import NLE_A
+    from sbi_tpu.inference.posteriors.mcmc_posterior import MCMCPosterior
+    from sbi_tpu.inference.posteriors.posterior_parameters import (
+        MCMCPosteriorParameters,
+    )
+    from sbi_tpu.utils.distributions import BoxUniform
+
+    seed_all_backends(0)
+    prior = BoxUniform(-2.0 * jnp.ones(2), 2.0 * jnp.ones(2))
+    theta = prior.sample(jax.random.PRNGKey(0), (300,))
+    x = theta + 0.1 * jax.random.normal(jax.random.PRNGKey(1), theta.shape)
+    inf = NLE_A(prior=prior)
+    inf.append_simulations(theta, x).train(
+        max_num_epochs=2, training_batch_size=100
+    )
+    post = inf.build_posterior(
+        posterior_parameters=MCMCPosteriorParameters(
+            num_chains=7, warmup_steps=20, thin=1
+        )
+    )
+    assert isinstance(post, MCMCPosterior)
+    assert post.num_chains == 7
+    s = post.sample((30,), x=jnp.zeros(2), key=jax.random.PRNGKey(2))
+    assert s.shape == (30, 2)
+    assert bool(jnp.isfinite(s).all())
