@@ -223,6 +223,18 @@ class VectorFieldTrainer(NeuralInference):
         estimator = estimator.snapshot() if hasattr(estimator, "snapshot") else estimator
         if estimator is None:
             raise ValueError("Run `.train()` first or pass a density_estimator.")
+
+        posterior_parameters = kwargs.pop("posterior_parameters", None)
+        if posterior_parameters is not None:
+            from ...posteriors.posterior_parameters import (
+                build_posterior_from_parameters,
+            )
+
+            self._posterior = build_posterior_from_parameters(
+                posterior_parameters, estimator, prior, kind="vf"
+            )
+            return self._posterior
+
         if sample_with is None:
             # SDE default for score estimators (ref trainers/base.py:703);
             # flow matching has no SDE -> probability-flow ODE.

@@ -244,3 +244,34 @@ def test_mcmc_posterior_parameters_dispatch_via_nle():
     s = post.sample((30,), x=jnp.zeros(2), key=jax.random.PRNGKey(2))
     assert s.shape == (30, 2)
     assert bool(jnp.isfinite(s).all())
+
+
+def test_vf_posterior_parameters_dispatch():
+    """VectorFieldPosteriorParameters flows through the VF trainer's
+    build_posterior into a VectorFieldPosterior with the configured
+    sampling route."""
+    from sbi_tpu.inference import FMPE
+    from sbi_tpu.inference.posteriors.posterior_parameters import (
+        VectorFieldPosteriorParameters,
+    )
+    from sbi_tpu.inference.posteriors.vector_field_posterior import (
+        VectorFieldPosterior,
+    )
+    from sbi_tpu.utils.distributions import BoxUniform
+
+    seed_all_backends(0)
+    prior = BoxUniform(-2.0 * jnp.ones(2), 2.0 * jnp.ones(2))
+    theta = prior.sample(jax.random.PRNGKey(0), (300,))
+    x = theta + 0.1 * jax.random.normal(jax.random.PRNGKey(1), theta.shape)
+    inf = FMPE(prior=prior)
+    inf.append_simulations(theta, x).train(
+        max_num_epochs=2, training_batch_size=100
+    )
+    post = inf.build_posterior(
+        posterior_parameters=VectorFieldPosteriorParameters(sample_with="ode")
+    )
+    assert isinstance(post, VectorFieldPosterior)
+    assert post.sample_with == "ode"
+    s = post.sample((10,), x=jnp.zeros(2), key=jax.random.PRNGKey(2))
+    assert s.shape == (10, 2)
+    assert bool(jnp.isfinite(s).all())
