@@ -275,3 +275,32 @@ def test_vf_posterior_parameters_dispatch():
     s = post.sample((10,), x=jnp.zeros(2), key=jax.random.PRNGKey(2))
     assert s.shape == (10, 2)
     assert bool(jnp.isfinite(s).all())
+
+
+def test_estimator_config_from_kwargs_warns_on_unknown():
+    """Typed factory configs warn (not silently drop) on unknown kwargs
+    and build a working estimator (ref `estimator_configs.py:27-99`)."""
+    import warnings as _warnings
+
+    from sbi_tpu.neural_nets.net_builders.estimator_configs import (
+        FlowEstimatorConfig,
+        ScoreEstimatorConfig,
+    )
+
+    with pytest.warns(UserWarning, match="unknown kwargs.*not_an_option"):
+        cfg = FlowEstimatorConfig.from_kwargs(
+            model="maf", hidden_features=32, not_an_option=3
+        )
+    assert cfg.model == "maf" and cfg.hidden_features == 32
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        ScoreEstimatorConfig.from_kwargs(net="mlp", sde_type="vp")
+
+    theta = jax.random.normal(jax.random.PRNGKey(0), (64, 2))
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 3))
+    est = cfg.build(theta, x)
+    lp = est.log_prob(theta[:4], x[:4])
+    # (sample, batch) convention: a 2-D input broadcasts to sample=1.
+    assert lp.shape == (1, 4)
+    assert bool(jnp.isfinite(lp).all())
