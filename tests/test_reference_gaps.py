@@ -304,3 +304,33 @@ def test_estimator_config_from_kwargs_warns_on_unknown():
     # (sample, batch) convention: a 2-D input broadcasts to sample=1.
     assert lp.shape == (1, 4)
     assert bool(jnp.isfinite(lp).all())
+
+
+def test_npe_mcmc_posterior_parameters_dispatch():
+    """NPE + MCMCPosteriorParameters: the potential-based branch of the
+    dispatch builds an MCMCPosterior over the posterior-based potential."""
+    from sbi_tpu.inference import NPE
+    from sbi_tpu.inference.posteriors.mcmc_posterior import MCMCPosterior
+    from sbi_tpu.inference.posteriors.posterior_parameters import (
+        MCMCPosteriorParameters,
+    )
+    from sbi_tpu.utils.distributions import BoxUniform
+
+    seed_all_backends(0)
+    prior = BoxUniform(-2.0 * jnp.ones(2), 2.0 * jnp.ones(2))
+    theta = prior.sample(jax.random.PRNGKey(0), (300,))
+    x = theta + 0.1 * jax.random.normal(jax.random.PRNGKey(1), theta.shape)
+    inf = NPE(prior=prior)
+    inf.append_simulations(theta, x).train(
+        max_num_epochs=2, training_batch_size=100
+    )
+    post = inf.build_posterior(
+        posterior_parameters=MCMCPosteriorParameters(
+            num_chains=6, warmup_steps=15, thin=1
+        )
+    )
+    assert isinstance(post, MCMCPosterior)
+    assert post.num_chains == 6
+    s = post.sample((20,), x=jnp.zeros(2), key=jax.random.PRNGKey(2))
+    assert s.shape == (20, 2)
+    assert bool(jnp.isfinite(s).all())
