@@ -7,8 +7,33 @@ validated configs consumed by `build_posterior(posterior_parameters=...)`
 
 from __future__ import annotations
 
+import warnings
 from dataclasses import asdict, dataclass, field
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
+
+
+def check_legacy_sampler_args(
+    explicit: Dict[str, Optional[Dict]], methods: Dict[str, Tuple[Any, Any]]
+) -> None:
+    """Guard mixing typed `posterior_parameters` with legacy sampler kwargs.
+
+    Mirrors the reference trainers (`sbi/inference/trainers/base.py`): explicit
+    parameter dicts alongside `posterior_parameters` raise; method-name strings
+    that differ from their default only warn (they are ignored).
+    """
+    passed = [k for k, v in explicit.items() if v is not None]
+    if passed:
+        raise ValueError(
+            f"Cannot combine `posterior_parameters` with legacy sampler kwargs "
+            f"{passed}. Move these settings into the typed parameters dataclass."
+        )
+    changed = [k for k, (v, default) in methods.items() if v is not None and v != default]
+    if changed:
+        warnings.warn(
+            f"`posterior_parameters` takes precedence; legacy kwargs {changed} "
+            "are ignored.",
+            stacklevel=3,
+        )
 
 
 @dataclass
@@ -98,17 +123,33 @@ class VectorFieldPosteriorParameters:
 
 
 def build_posterior_from_parameters(parameters, estimator, prior, kind: str = "npe"):
-    """isinstance-dispatch mirroring `trainers/base.py:854-975`."""
-    kwargs = asdict(parameters)
-    if isinstance(parameters, FilteredDirectPosteriorParameters):
-        from .filtered_direct_posterior import FilteredDirectPosterior
+    """isinstance-dispatch mirroring `trainers/base.py:854-975`.
 
-        return FilteredDirectPosterior(estimator, prior, **kwargs)
+    Validates that the parameters type is compatible with the trainer kind
+    (ref restricts e.g. DirectPosterior to posterior estimators): a direct
+    posterior over a likelihood/ratio estimator would be the wrong density.
+    """
+    kwargs = asdict(parameters)
     if isinstance(parameters, DirectPosteriorParameters):
+        if kind != "npe":
+            raise TypeError(
+                f"{type(parameters).__name__} requires a posterior estimator "
+                f"(NPE trainers); got a '{kind}' trainer. Use MCMC/Rejection/"
+                "Importance/VI posterior parameters instead."
+            )
+        if isinstance(parameters, FilteredDirectPosteriorParameters):
+            from .filtered_direct_posterior import FilteredDirectPosterior
+
+            return FilteredDirectPosterior(estimator, prior, **kwargs)
         from .direct_posterior import DirectPosterior
 
         return DirectPosterior(estimator, prior, **kwargs)
     if isinstance(parameters, VectorFieldPosteriorParameters):
+        if kind != "vf":
+            raise TypeError(
+                f"{type(parameters).__name__} requires a vector-field "
+                f"estimator (FMPE/NPSE trainers); got a '{kind}' trainer."
+            )
         from .vector_field_posterior import VectorFieldPosterior
 
         return VectorFieldPosterior(estimator, prior, **kwargs)
@@ -121,6 +162,10 @@ def build_posterior_from_parameters(parameters, estimator, prior, kind: str = "n
     elif kind == "nre":
         from ..potentials.ratio_based_potential import (
             ratio_estimator_based_potential as make_potential,
+        )
+    elif kind == "vf":
+        from ..potentials.vector_field_potential import (
+            vector_field_estimator_based_potential as make_potential,
         )
     else:
         from ..potentials.posterior_based_potential import (

@@ -149,8 +149,21 @@ class LikelihoodEstimatorTrainer(NeuralInference):
         if posterior_parameters is not None:
             from ...posteriors.posterior_parameters import (
                 build_posterior_from_parameters,
+                check_legacy_sampler_args,
             )
 
+            check_legacy_sampler_args(
+                {
+                    "mcmc_parameters": mcmc_parameters,
+                    "vi_parameters": vi_parameters,
+                    "rejection_sampling_parameters": rejection_sampling_parameters,
+                    "importance_sampling_parameters": importance_sampling_parameters,
+                },
+                {
+                    "sample_with": (sample_with, "mcmc"),
+                    "mcmc_method": (mcmc_method, "slice_jax_vectorized"),
+                },
+            )
             self._posterior = build_posterior_from_parameters(
                 posterior_parameters, estimator, prior, kind="nle"
             )

@@ -228,8 +228,13 @@ class VectorFieldTrainer(NeuralInference):
         if posterior_parameters is not None:
             from ...posteriors.posterior_parameters import (
                 build_posterior_from_parameters,
+                check_legacy_sampler_args,
             )
 
+            check_legacy_sampler_args(
+                {k: v for k, v in kwargs.items() if isinstance(v, dict) or k.endswith("_parameters")},
+                {"sample_with": (sample_with, None)},
+            )
             self._posterior = build_posterior_from_parameters(
                 posterior_parameters, estimator, prior, kind="vf"
             )

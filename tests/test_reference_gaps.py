@@ -334,3 +334,88 @@ def test_npe_mcmc_posterior_parameters_dispatch():
     s = post.sample((20,), x=jnp.zeros(2), key=jax.random.PRNGKey(2))
     assert s.shape == (20, 2)
     assert bool(jnp.isfinite(s).all())
+
+
+def test_vf_mcmc_posterior_parameters_dispatch():
+    """FMPE + MCMCPosteriorParameters must route through the vector-field
+    potential (the estimator has no log_prob; ref supports MCMC from VF
+    trainers via `vector_field_estimator_based_potential`)."""
+    from sbi_tpu.inference import FMPE
+    from sbi_tpu.inference.posteriors.mcmc_posterior import MCMCPosterior
+    from sbi_tpu.inference.posteriors.posterior_parameters import (
+        MCMCPosteriorParameters,
+    )
+    from sbi_tpu.utils.distributions import BoxUniform
+
+    seed_all_backends(0)
+    prior = BoxUniform(-2.0 * jnp.ones(2), 2.0 * jnp.ones(2))
+    theta = prior.sample(jax.random.PRNGKey(0), (300,))
+    x = theta + 0.1 * jax.random.normal(jax.random.PRNGKey(1), theta.shape)
+    inf = FMPE(prior=prior)
+    inf.append_simulations(theta, x).train(max_num_epochs=2, training_batch_size=100)
+    post = inf.build_posterior(
+        posterior_parameters=MCMCPosteriorParameters(
+            num_chains=5, warmup_steps=10, thin=1
+        )
+    )
+    assert isinstance(post, MCMCPosterior)
+    s = post.sample((20,), x=jnp.zeros(2), key=jax.random.PRNGKey(2))
+    assert s.shape == (20, 2)
+    assert bool(jnp.isfinite(s).all())
+
+
+def test_posterior_parameters_kind_mismatch_raises():
+    """Direct-family parameters require a posterior estimator; VF parameters
+    require a vector-field estimator. Wrong trainer kind must raise, not
+    silently wrap the wrong density (ref restricts these per trainer)."""
+    from sbi_tpu.inference import NLE_A, NRE_B
+    from sbi_tpu.inference.posteriors.posterior_parameters import (
+        DirectPosteriorParameters,
+        VectorFieldPosteriorParameters,
+    )
+    from sbi_tpu.utils.distributions import BoxUniform
+
+    seed_all_backends(0)
+    prior = BoxUniform(-2.0 * jnp.ones(2), 2.0 * jnp.ones(2))
+    theta = prior.sample(jax.random.PRNGKey(0), (200,))
+    x = theta + 0.1 * jax.random.normal(jax.random.PRNGKey(1), theta.shape)
+
+    nle = NLE_A(prior=prior)
+    nle.append_simulations(theta, x).train(max_num_epochs=1, training_batch_size=100)
+    with pytest.raises(TypeError, match="posterior estimator"):
+        nle.build_posterior(posterior_parameters=DirectPosteriorParameters())
+    with pytest.raises(TypeError, match="vector-field"):
+        nle.build_posterior(posterior_parameters=VectorFieldPosteriorParameters())
+
+    nre = NRE_B(prior=prior)
+    nre.append_simulations(theta, x).train(max_num_epochs=1, training_batch_size=100)
+    with pytest.raises(TypeError, match="posterior estimator"):
+        nre.build_posterior(posterior_parameters=DirectPosteriorParameters())
+
+
+def test_legacy_kwargs_conflict_with_posterior_parameters():
+    """Mixing legacy sampler kwargs with typed `posterior_parameters` raises
+    (explicit dicts) or warns (method strings), per the reference trainers."""
+    from sbi_tpu.inference import NLE_A
+    from sbi_tpu.inference.posteriors.posterior_parameters import (
+        MCMCPosteriorParameters,
+    )
+    from sbi_tpu.utils.distributions import BoxUniform
+
+    seed_all_backends(0)
+    prior = BoxUniform(-2.0 * jnp.ones(2), 2.0 * jnp.ones(2))
+    theta = prior.sample(jax.random.PRNGKey(0), (200,))
+    x = theta + 0.1 * jax.random.normal(jax.random.PRNGKey(1), theta.shape)
+    nle = NLE_A(prior=prior)
+    nle.append_simulations(theta, x).train(max_num_epochs=1, training_batch_size=100)
+
+    with pytest.raises(ValueError, match="mcmc_parameters"):
+        nle.build_posterior(
+            posterior_parameters=MCMCPosteriorParameters(),
+            mcmc_parameters={"num_chains": 3},
+        )
+    with pytest.warns(UserWarning, match="mcmc_method"):
+        nle.build_posterior(
+            posterior_parameters=MCMCPosteriorParameters(num_chains=3),
+            mcmc_method="hmc",
+        )
