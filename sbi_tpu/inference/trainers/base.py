@@ -386,6 +386,11 @@ class NeuralInference(ABC):
         return est
 
     # ------------------------------------------------------- ensemble (vmap)
+    def _ensemble_build_net(self, theta, x):
+        """Build one ensemble member. Trainers whose builder is not
+        ``(theta, x) -> estimator`` override (MarginalTrainer is x-only)."""
+        return self._build_neural_net(theta, x)
+
     def _ensemble_loss_fn(self) -> Callable:
         """Pure loss ``fn(params, key, theta_b, x_b, masks_b) -> (B,)`` used
         by :meth:`train_ensemble`. Subclasses override; the default covers
@@ -439,7 +444,7 @@ class NeuralInference(ABC):
         )
         # K independent builds: same architecture + z-stats (deterministic in
         # the data), different init keys -> identical treedefs, stackable.
-        ests = [self._build_neural_net(theta, x) for _ in range(num_members)]
+        ests = [self._ensemble_build_net(theta, x) for _ in range(num_members)]
         if self._neural_net is None:
             self._neural_net = ests[0]
         loss_fn = self._ensemble_loss_fn()

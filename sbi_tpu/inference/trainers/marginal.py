@@ -41,6 +41,18 @@ class MarginalTrainer(NeuralInference):
         else:
             self._build_neural_net = density_estimator
 
+    def _ensemble_build_net(self, theta, x):
+        # Marginal builder is unconditional: x only.
+        return self._build_neural_net(x)
+
+    def _ensemble_loss_fn(self):
+        est = self._neural_net
+
+        def loss_fn(params, k, theta_b, x_b, masks_b):
+            return -est.log_prob_fn(params, x_b)
+
+        return loss_fn
+
     def append_simulations(self, x: Array, data_device=None) -> "MarginalTrainer":
         x = jnp.asarray(x, jnp.float32)
         keep = jnp.isfinite(x.reshape(x.shape[0], -1)).all(axis=1)

@@ -11,6 +11,8 @@ from .nre_base import RatioEstimatorTrainer, classifier_logits
 
 
 class BNRE(RatioEstimatorTrainer):
+    _ensemble_num_atoms = 2
+
     def train(self, regularization_strength: float = 100.0, **kwargs):
         kwargs.setdefault("loss_kwargs", {})
         kwargs["loss_kwargs"].update(

@@ -11,6 +11,8 @@ from .nre_base import RatioEstimatorTrainer, classifier_logits
 
 
 class NRE_A(RatioEstimatorTrainer):
+    _ensemble_num_atoms = 2
+
     def train(self, **kwargs):
         kwargs.setdefault("num_atoms", 2)
         assert kwargs["num_atoms"] == 2, "NRE-A uses exactly 2 atoms."

@@ -120,6 +120,16 @@ class RatioEstimatorTrainer(NeuralInference):
     @abstractmethod
     def _make_loss_fn(self, num_atoms: int, **kwargs) -> Callable: ...
 
+    # Contrastive-atom count used by vmapped `train_ensemble` (subclasses
+    # with fixed-atom losses override: NRE-A/BNRE use exactly 2).
+    _ensemble_num_atoms = 10
+
+    def _ensemble_loss_fn(self) -> Callable:
+        """Per-member contrastive loss for vmapped ensembles: the same
+        atom-based loss as :meth:`train` (ref nre_base.py:375-395), with the
+        subclass default loss kwargs."""
+        return self._make_loss_fn(self._ensemble_num_atoms)
+
     def build_posterior(
         self,
         ratio_estimator=None,

@@ -1,0 +1,95 @@
+"""Round-4 mini-sbibm experiment driver.
+
+Targets (VERDICT round 3):
+  1. NSF-family PoE on SLCP (the config that kernel-faulted in round 3) —
+     reproduce/fix the fault, push mean C2ST <= 0.50.
+  3. gaussian_linear npe-nsf <= 0.55; npse two_moons seed stability.
+
+Runs on the real TPU backend. Every stage checkpoints (crash-resume).
+"""
+
+import csv
+import faulthandler
+import os
+import sys
+import time
+
+faulthandler.enable()
+faulthandler.dump_traceback_later(600, repeat=True)
+
+import importlib.util as _u
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+
+
+def _load(name):
+    spec = _u.spec_from_file_location(name, os.path.join(_HERE, f"{name}.py"))
+    m = _u.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+_BM3 = None
+
+
+def bm3():
+    global _BM3
+    if _BM3 is None:
+        _BM3 = _load("bm_round3")
+    return _BM3
+
+
+def run_nsf_poe_slcp(per_member, n_members=8, batch_size=1024, patience=40,
+                     ckpt_dir="/tmp/nsf_poe_slcp", **est_kw):
+    """The round-3 faulting config: K-wide vmapped NSF NLE ensemble on SLCP,
+    product-of-experts potential, FSM slice sampling in bounded programs."""
+    return bm3().run_poe_vmapped_slcp(
+        per_member, n_members=n_members, rounds=1, patience=patience,
+        batch_size=batch_size, ckpt_dir=ckpt_dir, model="nsf", **est_kw,
+    )
+
+
+EXPERIMENTS = {
+    # (fn, label, task, sims)
+    "nsf_poe8_1m": (
+        lambda: run_nsf_poe_slcp(125_000, n_members=8,
+                                 ckpt_dir="/tmp/nsf_poe8_1m"),
+        "nle-nsf-poe8-1m", "slcp", 1_000_000,
+    ),
+    "nsf_poe8_250k": (
+        lambda: run_nsf_poe_slcp(31_250, n_members=8,
+                                 ckpt_dir="/tmp/nsf_poe8_250k"),
+        "nle-nsf-poe8-250k", "slcp", 250_000,
+    ),
+}
+
+
+def main():
+    name = sys.argv[1]
+    out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/bm_results_round4.csv"
+    fn, label, task, sims = EXPERIMENTS[name]
+    print(f"=== {name}: {label} x {task} @ {sims} sims", flush=True)
+    t0 = time.time()
+    scores = fn()
+    mean = sum(scores) / len(scores)
+    print(f"=== {name}: mean {mean:.4f} ({time.time()-t0:.0f}s)", flush=True)
+    write_header = not os.path.exists(out)
+    with open(out, "a", newline="") as f:
+        w = csv.writer(f)
+        if write_header:
+            w.writerow(["method", "task", "num_simulations", "c2st_mean",
+                        "c2st_obs0", "c2st_obs1", "c2st_obs2"])
+        w.writerow([label, task, sims, round(mean, 4)] +
+                   [round(s, 4) for s in scores])
+
+
+if __name__ == "__main__":
+    main()

@@ -88,3 +88,60 @@ def test_train_ensemble_bootstrap_and_nle(lg_data):
     # summary recorded
     assert inf.summary["epochs_trained"][-1] <= 30
     assert np.isfinite(inf.summary["best_validation_loss"][-1])
+
+@pytest.mark.parametrize("cls_name", ["NRE_A", "NRE_B", "NRE_C", "BNRE"])
+def test_train_ensemble_nre_family(lg_data, cls_name):
+    """VERDICT r3 item 2: vmapped ensembles cover the NRE family (the
+    contrastive atom loss of ref `nre_base.py:375-395`, per member)."""
+    import sbi_tpu.inference as inf_mod
+
+    prior, theta, x = lg_data
+    inf = getattr(inf_mod, cls_name)(prior=prior)
+    inf.append_simulations(theta[:800], x[:800])
+    members = inf.train_ensemble(
+        num_members=2, max_num_epochs=20, stop_after_epochs=6, epoch_chunk=5
+    )
+    assert len(members) == 2
+    # Members are different functions of (theta, x).
+    lr = [
+        np.asarray(m.log_ratio_fn(m.params, theta[:8], x[:8])) for m in members
+    ]
+    assert lr[0].shape == lr[1].shape
+    assert not np.allclose(lr[0], lr[1])
+    assert np.isfinite(inf.summary["best_validation_loss"][-1])
+
+
+def test_train_ensemble_nre_posterior_end_to_end(lg_data):
+    prior, theta, x = lg_data
+    from sbi_tpu.inference import NRE_B
+
+    inf = NRE_B(prior=prior)
+    inf.append_simulations(theta, x)
+    inf.train_ensemble(
+        num_members=2, max_num_epochs=40, stop_after_epochs=10, epoch_chunk=10
+    )
+    post = inf.build_ensemble_posterior(
+        mcmc_parameters={"num_chains": 10, "warmup_steps": 50, "thin": 2}
+    )
+    s = post.sample((100,), x=jnp.full((1, 2), 1.0), key=jr.PRNGKey(5))
+    assert s.shape == (100, 2)
+    assert bool(jnp.isfinite(s).all())
+
+
+def test_train_ensemble_marginal():
+    from sbi_tpu.inference.trainers.marginal import MarginalTrainer
+
+    seed_all_backends(0)
+    x = 0.5 * jr.normal(jr.PRNGKey(0), (1500, 2)) + 1.0
+    inf = MarginalTrainer(density_estimator="maf")
+    inf.append_simulations(x)
+    members = inf.train_ensemble(
+        num_members=2, max_num_epochs=30, stop_after_epochs=8, epoch_chunk=5
+    )
+    assert len(members) == 2
+    lps = [np.asarray(m.log_prob(x[:16])) for m in members]
+    assert not np.allclose(lps[0], lps[1])
+    # Both members learned the marginal: mean log-prob beats a unit-normal
+    # baseline evaluated on the same (shifted, scale-0.5) data.
+    for lp in lps:
+        assert lp.mean() > -2.0
