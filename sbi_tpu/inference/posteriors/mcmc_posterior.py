@@ -30,6 +30,28 @@ from .base_posterior import NeuralPosterior
 
 Array = jax.Array
 
+# Default per-program sweep bound applied when sampling on a TPU backend.
+# One monolithic MCMC program on an expensive potential (product-of-experts
+# ensembles, large iid-trial batches) can run for minutes of device time,
+# which kills remote TPU workers (observed: ~43s programs fine, ~3.5min
+# programs fault the worker). 64 sweeps bounds the heaviest measured
+# potential (16-member PoE NSF) to well under that, while for cheap
+# potentials the extra per-program dispatch is ~ms — the chunks reuse ONE
+# compiled executable. Pass `max_sweeps_per_program=None` to force a single
+# monolithic program, or an int to override the bound.
+DEFAULT_TPU_SWEEPS_PER_PROGRAM = 64
+
+
+def _resolve_max_sweeps(value):
+    if value == "auto":
+        if jax.default_backend() == "tpu":
+            return DEFAULT_TPU_SWEEPS_PER_PROGRAM
+        return None
+    if value is not None and value < 1:
+        raise ValueError(f"max_sweeps_per_program must be >= 1, got {value}")
+    return value
+
+
 _METHOD_ALIASES = {
     "slice_np": "slice_jax",
     "slice_np_vectorized": "slice_jax_vectorized",
@@ -191,11 +213,9 @@ class MCMCPosterior(NeuralPosterior):
         # Bounded-program mode (all in-repo kernels): warmup once, then
         # advance chains in equal-size device programs with carried state
         # (slice_fsm.py resumable state; hmc.py `_run_adaptive` chunking).
-        max_sweeps = kwargs.pop("max_sweeps_per_program", None)
-        if max_sweeps is not None and max_sweeps < 1:
-            raise ValueError(
-                f"max_sweeps_per_program must be >= 1, got {max_sweeps}"
-            )
+        max_sweeps = _resolve_max_sweeps(
+            kwargs.pop("max_sweeps_per_program", "auto")
+        )
 
         if method == "slice_jax_vectorized" or method == "slice_jax":
             draws_u = run_slice_vectorized(
@@ -288,7 +308,9 @@ class MCMCPosterior(NeuralPosterior):
         draws_u = run_slice_vectorized_fsm(
             pot_u, inits_u, num_samples=per_chain,
             thin=self.thin, warmup_steps=self.warmup_steps, key=k_run,
-            max_sweeps_per_program=kwargs.pop("max_sweeps_per_program", None),
+            max_sweeps_per_program=_resolve_max_sweeps(
+                kwargs.pop("max_sweeps_per_program", "auto")
+            ),
         )  # (per_chain, B*num_chains, D)
         D = draws_u.shape[-1]
         draws = self.theta_transform.inverse(draws_u.reshape(-1, D)).reshape(

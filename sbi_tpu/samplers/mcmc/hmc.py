@@ -122,14 +122,16 @@ def _run_adaptive(
     are module-level jits with step_fn static, so repeated calls with the
     same cached step function reuse the compiled programs.
 
-    max_sweeps_per_program bounds every recording device program (same
-    contract as the slice FSM's resumable-state mode): warmup runs once,
-    then chains advance in equal-size chunks with the last recorded
-    position carried between programs — draws record EVERY step, so
-    ``draws[-1]`` IS the chain state."""
+    max_sweeps_per_program bounds EVERY device program (same contract as
+    the slice FSM's resumable-state mode): warmup advances in equal-size
+    chunks with the dual-averaging carry threaded between programs, then
+    recording chunks carry the last recorded position — draws record EVERY
+    step, so ``draws[-1]`` IS the chain state."""
     key, k_warm, k_main = jax.random.split(key, 3)
     theta, step_size, inv_mass = _adaptive_warmup(
-        inits, k_warm, target_accept, step_fn=step_fn, warmup_steps=warmup_steps
+        inits, k_warm, target_accept, step_fn=step_fn,
+        warmup_steps=warmup_steps,
+        max_sweeps_per_program=max_sweeps_per_program,
     )
     n_total = num_samples * thin
     if max_sweeps_per_program is not None and n_total > max_sweeps_per_program:
@@ -153,9 +155,12 @@ def _run_adaptive(
     return draws[:num_samples]
 
 
-@partial(jax.jit, static_argnames=("step_fn", "warmup_steps"))
-def _adaptive_warmup(inits, k, target_accept, *, step_fn, warmup_steps):
-    C, D = inits.shape
+@partial(jax.jit, static_argnames=("step_fn", "n_steps"))
+def _adaptive_warmup_chunk(carry, k, target_accept, *, step_fn, n_steps):
+    """Advance the dual-averaging warmup carry by ``n_steps`` (one device
+    program). The full carry goes in and out so warmup can be split across
+    bounded programs with identical adaptation dynamics."""
+    C = carry[0].shape[0]
     mu = jnp.log(10.0 * 0.1)
     gamma, t0, kappa = 0.05, 10.0, 0.75
 
@@ -182,6 +187,16 @@ def _adaptive_warmup(inits, k, target_accept, *, step_fn, warmup_steps):
         m2_var = 0.9 * m2_var + 0.1 * batch_var
         return (theta, log_eps, log_eps_bar, h_bar, m2_mean, m2_var, t), None
 
+    keys = jax.random.split(k, n_steps)
+    carry, _ = jax.lax.scan(warm_body, carry, keys)
+    return carry
+
+
+def _adaptive_warmup(
+    inits, k, target_accept, *, step_fn, warmup_steps,
+    max_sweeps_per_program=None,
+):
+    C, D = inits.shape
     carry = (
         inits,
         jnp.log(0.1),
@@ -191,10 +206,23 @@ def _adaptive_warmup(inits, k, target_accept, *, step_fn, warmup_steps):
         jnp.ones(D),
         0.0,
     )
-    keys = jax.random.split(k, max(warmup_steps, 1))
-    (theta, _, log_eps_bar, _, _, m2_var, _), _ = jax.lax.scan(
-        warm_body, carry, keys
-    )
+    n = max(warmup_steps, 1)
+    if max_sweeps_per_program is not None and n > max_sweeps_per_program:
+        # Equal-size chunks (one compiled executable) with the adaptation
+        # carry threaded between programs; extra steps beyond warmup_steps
+        # only continue adaptation, which keeps chunks uniform and is
+        # harmless (dual averaging is a converging recursion).
+        chunk = max_sweeps_per_program
+        for c in range(-(-n // chunk)):
+            carry = _adaptive_warmup_chunk(
+                carry, jax.random.fold_in(k, c), target_accept,
+                step_fn=step_fn, n_steps=chunk,
+            )
+    else:
+        carry = _adaptive_warmup_chunk(
+            carry, k, target_accept, step_fn=step_fn, n_steps=n
+        )
+    theta, _, log_eps_bar, _, _, m2_var, _ = carry
     return theta, jnp.exp(log_eps_bar), jnp.clip(m2_var, 1e-4)
 
 

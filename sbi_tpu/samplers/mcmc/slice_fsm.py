@@ -267,12 +267,16 @@ def run_slice_vectorized_fsm(
     widths0 = jnp.broadcast_to(jnp.asarray(init_width, jnp.float32), (D,))
 
     n_total = num_samples * thin
-    if max_sweeps_per_program is not None and n_total > max_sweeps_per_program:
+    if max_sweeps_per_program is not None and (
+        n_total > max_sweeps_per_program
+        or warmup_steps > max_sweeps_per_program
+    ):
         k_w, k_m = jax.random.split(key)
         state = slice_fsm_warmup(
             potential_fn, inits, warmup_steps=warmup_steps,
             init_width=init_width, max_steps_out=max_steps_out,
             max_shrink=max_shrink, tune_width=tune_width, key=k_w,
+            max_sweeps_per_program=max_sweeps_per_program,
         )
         # Equal-size chunks so every chunk reuses ONE compiled program
         # (a ragged tail would compile a second XLA executable).
@@ -358,8 +362,18 @@ def slice_fsm_warmup(
     max_shrink: int = 100,
     tune_width: bool = True,
     key: Optional[Array] = None,
+    max_sweeps_per_program: Optional[int] = None,
 ) -> SliceFSMState:
-    """Warm up C chains (one device program) and return resumable state."""
+    """Warm up C chains and return resumable state.
+
+    With ``max_sweeps_per_program`` set and ``warmup_steps`` above it, the
+    warmup itself runs as a sequence of bounded device programs (fixed
+    initial widths throughout, exactly like the monolithic warmup), with
+    chain positions carried between programs and widths tuned once at the
+    end from the recorded second half. A warmup on a very expensive
+    potential (e.g. a product-of-experts ensemble) is otherwise itself a
+    multi-minute single program — the documented TPU-worker fault scenario.
+    """
     key = next_key(key)
     inits = jnp.asarray(inits, jnp.float32)
     C, D = inits.shape
@@ -370,6 +384,27 @@ def slice_fsm_warmup(
         return SliceFSMState(x=inits, widths=widths0)
     n_warm_record = max(warmup_steps // 2, 1)
     n_warm_skip = warmup_steps - n_warm_record
+    if (
+        max_sweeps_per_program is not None
+        and warmup_steps > max_sweeps_per_program
+    ):
+        # Equal-size chunks so every chunk reuses ONE compiled executable;
+        # record every sweep and apply the skip/record split on the host.
+        chunk = max_sweeps_per_program
+        state = SliceFSMState(x=inits, widths=widths0)
+        parts = []
+        for c in range(-(-warmup_steps // chunk)):
+            draws_c, state = slice_fsm_advance(
+                potential_fn, state, chunk, max_steps_out=max_steps_out,
+                max_shrink=max_shrink, key=jax.random.fold_in(key, c),
+            )
+            parts.append(draws_c)
+        warm = jnp.concatenate(parts)[:warmup_steps][n_warm_skip:]
+        if tune_width:
+            widths = 2.0 * jnp.std(warm.reshape(-1, D), axis=0) + 1e-3
+        else:
+            widths = widths0
+        return SliceFSMState(x=state.x, widths=widths)
     x_cur, widths = _warmup_fsm(
         key, widths0, inits, jnp.int32(n_warm_skip),
         potential_fn=potential_fn, n_warm_record=n_warm_record,

@@ -265,3 +265,60 @@ def test_hmc_nuts_bounded_programs(runner):
     flat = np.asarray(draws.reshape(-1, 2))
     assert np.allclose(flat.mean(0), np.asarray(MEAN), atol=0.15), flat.mean(0)
     assert np.allclose(np.cov(flat.T), np.asarray(COV), atol=0.3)
+
+
+def test_chunked_warmup_bounded_programs():
+    """EVERY device program bounded, including warmup (the TPU-worker
+    fault scenario is a single multi-minute program; warmup on an
+    expensive potential is itself such a program). Chunked warmup must
+    tune widths / adaptation like the monolithic one and keep accuracy."""
+    from sbi_tpu.samplers.mcmc.slice_fsm import slice_fsm_warmup
+
+    inits = jax.random.normal(jax.random.PRNGKey(0), (50, 2))
+
+    # slice FSM: warmup_steps > max_sweeps_per_program -> chunked warmup
+    state = slice_fsm_warmup(
+        logp, inits, warmup_steps=100, key=jax.random.PRNGKey(1),
+        max_sweeps_per_program=16,
+    )
+    assert state.x.shape == (50, 2) and state.widths.shape == (2,)
+    assert bool(jnp.isfinite(state.widths).all())
+    assert bool((state.widths > 0).all())
+    # widths tuned to the target scale (COV diag ~ [1, 2.25] -> 2*std)
+    assert np.asarray(state.widths).max() < 10.0
+
+    draws = run_slice_vectorized_fsm(
+        logp, inits, num_samples=300, warmup_steps=100,
+        key=jax.random.PRNGKey(2), max_sweeps_per_program=16,
+    )
+    flat = np.asarray(draws.reshape(-1, 2))
+    assert np.allclose(flat.mean(0), np.asarray(MEAN), atol=0.15)
+    assert np.allclose(np.cov(flat.T), np.asarray(COV), atol=0.3)
+
+    # gradient kernels: dual-averaging carry threaded across warmup chunks
+    for runner in (run_hmc, run_nuts):
+        draws = runner(logp, inits, num_samples=200, warmup_steps=100,
+                       key=jax.random.PRNGKey(3), max_sweeps_per_program=32)
+        flat = np.asarray(draws.reshape(-1, 2))
+        assert np.allclose(flat.mean(0), np.asarray(MEAN), atol=0.15)
+        assert np.allclose(np.cov(flat.T), np.asarray(COV), atol=0.35)
+
+
+def test_max_sweeps_auto_resolution():
+    """MCMCPosterior defaults max_sweeps_per_program to a bounded value on
+    TPU backends and to monolithic (None) elsewhere; explicit values pass
+    through; invalid values raise."""
+    from sbi_tpu.inference.posteriors.mcmc_posterior import (
+        DEFAULT_TPU_SWEEPS_PER_PROGRAM,
+        _resolve_max_sweeps,
+    )
+
+    assert _resolve_max_sweeps(None) is None
+    assert _resolve_max_sweeps(17) == 17
+    expected = (
+        DEFAULT_TPU_SWEEPS_PER_PROGRAM
+        if jax.default_backend() == "tpu" else None
+    )
+    assert _resolve_max_sweeps("auto") == expected
+    with pytest.raises(ValueError, match="max_sweeps_per_program"):
+        _resolve_max_sweeps(0)
