@@ -139,8 +139,11 @@ def _rqs_pallas_raw(x_flat, w_t, h_t, d_t, inverse: bool, tail_bound: float):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    import os
+
     N = x_flat.shape[0]
     K = w_t.shape[0]
+    interpret = bool(os.environ.get("SBI_TPU_PALLAS_INTERPRET"))
     pad = (-N) % _BLOCK_N
     if pad:
         x_flat = jnp.pad(x_flat, (0, pad))
@@ -168,8 +171,41 @@ def _rqs_pallas_raw(x_flat, w_t, h_t, d_t, inverse: bool, tail_bound: float):
             jax.ShapeDtypeStruct((1, Np), x_flat.dtype),
             jax.ShapeDtypeStruct((1, Np), x_flat.dtype),
         ],
+        interpret=interpret,
     )(x_flat[None, :], w_t, h_t, d_t)
     return y[0, :N], ld[0, :N]
+
+
+@functools.lru_cache(maxsize=None)
+def _rqs_flat_fn(inverse: bool, tail_bound: float):
+    """custom_vmap wrapper: the spline is elementwise over the leading axes,
+    so batching = merge the batch axis into the element axis and run ONE
+    pallas_call. This bypasses pallas_call's generic auto-batching rule
+    (extra leading grid dim + 3-D blocks), which Mosaic kernel-faults on
+    for wide-vmapped NSF programs (round-3 known gap)."""
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def f(inputs, w, h, d):
+        shape = inputs.shape
+        K = w.shape[-1]
+        y, ld = _rqs_pallas_raw(
+            inputs.reshape(-1), w.reshape(-1, K).T, h.reshape(-1, K).T,
+            d.reshape(-1, K - 1).T, inverse, tail_bound,
+        )
+        return y.reshape(shape), ld.reshape(shape)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, inputs, w, h, d):
+        def bc(a, batched):
+            if batched:
+                return a
+            return jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+
+        args = [bc(a, b) for a, b in zip((inputs, w, h, d), in_batched)]
+        return f(*args), (True, True)
+
+    return f
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -179,14 +215,10 @@ def rational_quadratic_spline_pallas(
 ):
     """Drop-in fused version of `rational_quadratic_spline` (same signature
     semantics: inputs (..., ), params (..., K)/(..., K-1)); TPU-only."""
-    shape = inputs.shape
-    K = unnormalized_widths.shape[-1]
-    x_flat = inputs.reshape(-1)
-    w_t = unnormalized_widths.reshape(-1, K).T
-    h_t = unnormalized_heights.reshape(-1, K).T
-    d_t = unnormalized_derivatives.reshape(-1, K - 1).T
-    y, ld = _rqs_pallas_raw(x_flat, w_t, h_t, d_t, inverse, tail_bound)
-    return y.reshape(shape), ld.reshape(shape)
+    return _rqs_flat_fn(inverse, float(tail_bound))(
+        inputs, unnormalized_widths, unnormalized_heights,
+        unnormalized_derivatives,
+    )
 
 
 def _fwd(inputs, w, h, d, inverse, tail_bound):

@@ -57,8 +57,59 @@ def run_nsf_poe_slcp(per_member, n_members=8, batch_size=1024, patience=40,
     )
 
 
+def run_npse_tm_seeded(seed, num_simulations=30000, batch_size=200,
+                       patience=50, **est_kw):
+    """NPSE two_moons, full pipeline re-seeded (data, init, sampling) —
+    VERDICT item 3b: <=0.55 on 3 consecutive seeds, spread < 0.03."""
+    from sbi_tpu.inference import NPSE
+    from sbi_tpu.neural_nets.factory import posterior_score_nn
+    from sbi_tpu.utils.metrics import c2st
+
+    b3 = bm3()
+    bench = b3.get_bench_task("two_moons")
+    prior = bench.prior
+    b3.seed_all_backends(seed)
+    theta = prior.sample(jr.PRNGKey(1000 * seed), (num_simulations,))
+    x = bench.simulator(theta, key=jr.PRNGKey(1000 * seed + 1))
+    est_kw = dict(
+        model="ada_mlp", sde_type="vp", hidden_features=256, num_layers=6,
+        **est_kw,
+    )
+    inference = NPSE(prior=prior, density_estimator=posterior_score_nn(**est_kw))
+    inference.append_simulations(theta, x)
+    inference.train(training_batch_size=batch_size, epoch_chunk=25,
+                    stop_after_epochs=patience)
+    scores = []
+    for i in (0, 1, 2):
+        x_o = bench.get_observation(i)
+        posterior = inference.build_posterior().set_default_x(x_o)
+        ref = bench.get_reference_posterior_samples(i)
+        n = min(2000, ref.shape[0])
+        samples = posterior.sample(
+            (n,), key=jr.PRNGKey(1000 * seed + 10 + i),
+            steps=1000, corrector="langevin",
+        )
+        s = float(c2st(samples, ref[:n]))
+        scores.append(s)
+        print(f"  obs {i}: c2st={s:.4f}", flush=True)
+    return scores
+
+
 EXPERIMENTS = {
     # (fn, label, task, sims)
+    # --- VERDICT item 3a: gaussian_linear npe-nsf <= 0.55. The posterior
+    # is exactly Gaussian; interleave_affine gives each spline block an
+    # affine autoregressive pre-layer that can carry the exact solution,
+    # leaving the spline to model the (null) residual.
+    "npe_gl_nsf_affine": (
+        lambda: bm3().run_npe_gl_tuned(
+            30000, model="nsf", hidden_features=100, num_transforms=5,
+            interleave_affine=True),
+        "npe-nsf-affine", "gaussian_linear", 30000,
+    ),
+    "npse_tm_s1": (lambda: run_npse_tm_seeded(1), "npse-s1", "two_moons", 30000),
+    "npse_tm_s2": (lambda: run_npse_tm_seeded(2), "npse-s2", "two_moons", 30000),
+    "npse_tm_s3": (lambda: run_npse_tm_seeded(3), "npse-s3", "two_moons", 30000),
     "nsf_poe8_1m": (
         lambda: run_nsf_poe_slcp(125_000, n_members=8,
                                  ckpt_dir="/tmp/nsf_poe8_1m"),
