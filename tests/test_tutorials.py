@@ -2,13 +2,18 @@
 reference tutorial notebook (`docs/tutorials/`, `docs/advanced_tutorials/`)
 at miniature scale — the documented API sequences must keep working verbatim.
 
-Cited notebooks: 00_getting_started, 02_multiround_inference,
-03_density_estimators, 04_embedding_networks, 05_conditional_distributions,
-06_restriction_estimator, 07_sensitivity_analysis,
+Cited notebooks: 00_getting_started, 01_Bayesian_workflow,
+02_multiround_inference, 03_density_estimators, 04_embedding_networks,
+05_conditional_distributions, 06_restriction_estimator,
+07_sensitivity_analysis, 10_diagnostics_posterior_predictive_checks,
 11_diagnostics_simulation_based_calibration, 12_iid_data_and_permutation_
-invariant_embeddings, 15_importance_sampled_posteriors,
-17_plotting_functionality, 19_vector_field_methods,
-21_diagnostics_misspecification_checks.
+invariant_embeddings, 13_diagnostics_lc2st (tests/test_lc2st.py),
+15_importance_sampled_posteriors, 16_implemented_methods,
+18_training_interface, 19_vector_field_methods,
+21_diagnostics_misspecification_checks, Example_00_HodgkinHuxleyModel,
+Example_01_DecisionMakingModel; plus the older-numbering topics the
+reference docs cover in prose (08 summary statistics, 09 sampler
+interface/sampling.rst, 14 TARP, 20 custom potentials).
 """
 
 import jax
@@ -431,3 +436,281 @@ def test_22_ensembles_on_tpu():
     # the weights must actually be the evidence softmax (sum-to-1 alone is
     # vacuous — the property normalizes by construction)
     assert jnp.allclose(ens.weights, jax.nn.softmax(logz), atol=1e-5)
+
+
+def test_01_bayesian_workflow():
+    """01_Bayesian_workflow: prior predictive -> inference -> calibration
+    (SBC + TARP) -> posterior predictive, the full loop in miniature."""
+    from sbi_tpu.analysis import pairplot
+    from sbi_tpu.diagnostics.sbc import run_sbc
+    from sbi_tpu.diagnostics.tarp import check_tarp, run_tarp
+
+    seed_all_backends(0)
+    prior = BoxUniform(-2 * jnp.ones(D), 2 * jnp.ones(D))
+    x_o = jnp.zeros(D)
+    # 1. prior predictive: observation inside the simulated cloud
+    theta_pp = prior.sample(jax.random.PRNGKey(0), (300,))
+    x_pp = _simulator(theta_pp, jax.random.PRNGKey(1))
+    assert bool((x_pp.min(0) < x_o).all() and (x_o < x_pp.max(0)).all())
+    fig, _ = pairplot(x_pp, points=x_o, figsize=(4, 4))
+    plt.close(fig)
+    # 2. inference
+    inference = NPE(prior=prior)
+    inference.append_simulations(theta_pp, x_pp).train(**TRAIN_KW)
+    posterior = inference.build_posterior()
+    # 3. calibration on held-out pairs
+    theta_t = prior.sample(jax.random.PRNGKey(2), (20,))
+    x_t = _simulator(theta_t, jax.random.PRNGKey(3))
+    ranks, _ = run_sbc(theta_t, x_t, posterior, num_posterior_samples=50,
+                       key=jax.random.PRNGKey(4))
+    assert ranks.shape == (20, D)
+    ecp, alpha = run_tarp(theta_t, x_t, posterior,
+                          num_posterior_samples=50,
+                          key=jax.random.PRNGKey(5))
+    atc, ks_pval = check_tarp(ecp, alpha)
+    assert bool(jnp.isfinite(ecp).all())
+    # 4. posterior predictive at the observation
+    theta_post = posterior.sample((200,), x=x_o, key=jax.random.PRNGKey(6))
+    x_ppc = _simulator(theta_post, jax.random.PRNGKey(7))
+    # x_o must be typical under the predictive (well inside 3 sigma)
+    z = jnp.abs((x_o - x_ppc.mean(0)) / x_ppc.std(0))
+    assert float(z.max()) < 3.0
+
+
+def test_08_summary_statistics():
+    """08 — crafted summary statistics: wrap a raw-output simulator in a
+    jittable reduction and run standard NPE on the summaries."""
+    seed_all_backends(0)
+    prior = BoxUniform(jnp.array([0.5, -1.0]), jnp.array([2.0, 1.0]))
+    T = 50
+
+    def simulator_raw(theta, key=None):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        t = jnp.linspace(0, 1, T)
+        base = theta[:, :1] * jnp.exp(-3 * t)[None] + theta[:, 1:2]
+        return base + 0.05 * jax.random.normal(key, (theta.shape[0], T))
+
+    def summarize(x_raw):
+        return jnp.stack(
+            [x_raw.mean(-1), x_raw.std(-1),
+             jnp.quantile(x_raw, 0.1, axis=-1),
+             jnp.quantile(x_raw, 0.9, axis=-1)], axis=-1)
+
+    def simulator_summ(theta, key=None):
+        return summarize(simulator_raw(theta, key))
+
+    theta, x = simulate_for_sbi(
+        simulator_summ, prior, num_simulations=300,
+        show_progress_bar=False, key=jax.random.PRNGKey(0),
+    )
+    assert x.shape == (300, 4)
+    inference = NPE(prior=prior)
+    inference.append_simulations(theta, x).train(**TRAIN_KW)
+    posterior = inference.build_posterior()
+    s = posterior.sample((50,), x=x[0], key=jax.random.PRNGKey(1))
+    assert s.shape == (50, 2) and bool(jnp.isfinite(s).all())
+
+
+def test_09_sampler_interface():
+    """09 — sampler choice on an NLE posterior: sample_with strings, MCMC
+    method names, and the typed posterior_parameters dataclasses."""
+    from sbi_tpu.inference import NLE_A
+    from sbi_tpu.inference.posteriors import (
+        ImportanceSamplingPosteriorParameters,
+        MCMCPosteriorParameters,
+    )
+
+    seed_all_backends(0)
+    prior = BoxUniform(-2 * jnp.ones(D), 2 * jnp.ones(D))
+    theta, x = simulate_for_sbi(
+        _simulator, prior, num_simulations=300, show_progress_bar=False,
+        key=jax.random.PRNGKey(0),
+    )
+    nle = NLE_A(prior=prior)
+    nle.append_simulations(theta, x).train(**TRAIN_KW)
+    x_o = jnp.zeros(D)
+    # string interface
+    post_mcmc = nle.build_posterior(sample_with="mcmc", mcmc_method="nuts")
+    s = post_mcmc.sample((50,), x=x_o, key=jax.random.PRNGKey(1),
+                         num_chains=10, warmup_steps=20)
+    assert s.shape == (50, D)
+    # typed dataclasses
+    post_typed = nle.build_posterior(
+        posterior_parameters=MCMCPosteriorParameters(
+            method="slice_jax_vectorized", num_chains=10, warmup_steps=20)
+    )
+    s = post_typed.sample((50,), x=x_o, key=jax.random.PRNGKey(2))
+    assert s.shape == (50, D)
+    post_is = nle.build_posterior(
+        posterior_parameters=ImportanceSamplingPosteriorParameters(
+            method="sir", oversampling_factor=8)
+    )
+    s = post_is.sample((50,), x=x_o, key=jax.random.PRNGKey(3))
+    assert s.shape == (50, D) and bool(jnp.isfinite(s).all())
+
+
+def test_10_posterior_predictive_checks():
+    """10_diagnostics_posterior_predictive_checks: re-simulate at posterior
+    draws; the observation must be typical under the predictive."""
+    prior, inference, theta, x = _quick_npe()
+    x_o = jnp.zeros(D)
+    posterior = inference.build_posterior()
+    theta_post = posterior.sample((200,), x=x_o, key=jax.random.PRNGKey(1))
+    x_pred = _simulator(theta_post, jax.random.PRNGKey(2))
+    z = jnp.abs((x_o - x_pred.mean(0)) / x_pred.std(0))
+    assert float(z.max()) < 3.0
+    # a grossly shifted pseudo-observation fails the same check
+    z_bad = jnp.abs((x_o + 10.0 - x_pred.mean(0)) / x_pred.std(0))
+    assert float(z_bad.min()) > 3.0
+
+
+def test_14_tarp():
+    """14 (TARP) — run_tarp/check_tarp/plot_tarp on held-out pairs."""
+    from sbi_tpu.analysis import plot_tarp
+    from sbi_tpu.diagnostics.tarp import check_tarp, run_tarp
+
+    prior, inference, theta, x = _quick_npe()
+    posterior = inference.build_posterior()
+    theta_t = prior.sample(jax.random.PRNGKey(11), (30,))
+    x_t = _simulator(theta_t, jax.random.PRNGKey(12))
+    ecp, alpha = run_tarp(theta_t, x_t, posterior,
+                          num_posterior_samples=100,
+                          key=jax.random.PRNGKey(13))
+    atc, ks_pval = check_tarp(ecp, alpha)
+    assert ecp.shape == alpha.shape and bool(jnp.isfinite(ecp).all())
+    assert 0.0 <= float(ks_pval) <= 1.0
+    fig, ax = plot_tarp(ecp, alpha)
+    plt.close(fig)
+
+
+def test_16_implemented_methods():
+    """16_implemented_methods: every documented trainer class imports from
+    sbi_tpu.inference and constructs against a prior."""
+    from sbi_tpu import inference as inf
+
+    prior = BoxUniform(-jnp.ones(D), jnp.ones(D))
+    trainers = ["NPE", "NPE_A", "NPE_B", "NPE_C", "MNPE",
+                "NLE", "NLE_A", "MNLE", "NRE", "NRE_A", "NRE_B", "NRE_C",
+                "BNRE", "FMPE", "NPSE", "MarginalTrainer"]
+    for name in trainers:
+        cls = getattr(inf, name)
+        obj = cls(prior=prior)
+        assert hasattr(obj, "append_simulations") and hasattr(obj, "train")
+    # NPE_PFN needs the optional tabpfn dep or an injected adapter
+    assert hasattr(inf, "NPE_PFN")
+    with pytest.raises(ImportError, match="tabpfn"):
+        inf.NPE_PFN(prior=prior)
+    for name in ["MCABC", "SMCABC"]:
+        assert hasattr(inf, name)
+
+
+def test_18_low_level_training_interface():
+    """18_training_interface: hand-written optax loop over the estimator's
+    pure loss_fn, then wrap in DirectPosterior."""
+    import optax
+
+    from sbi_tpu.inference import DirectPosterior
+    from sbi_tpu.neural_nets.factory import posterior_nn
+
+    seed_all_backends(0)
+    prior = BoxUniform(-2 * jnp.ones(D), 2 * jnp.ones(D))
+    theta, x = simulate_for_sbi(
+        _simulator, prior, num_simulations=300, show_progress_bar=False,
+        key=jax.random.PRNGKey(0),
+    )
+    estimator = posterior_nn(model="maf", hidden_features=20,
+                             num_transforms=2)(theta, x)
+    opt = optax.adam(5e-4)
+    opt_state = opt.init(estimator.params)
+
+    @jax.jit
+    def step(params, opt_state, theta_b, x_b):
+        loss, grads = jax.value_and_grad(
+            lambda p: estimator.loss_fn(p, theta_b, x_b).mean())(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    first_loss = None
+    for epoch in range(20):
+        estimator.params, opt_state, loss = step(
+            estimator.params, opt_state, theta, x)
+        if first_loss is None:
+            first_loss = float(loss)
+    assert float(loss) < first_loss  # the loop actually trains
+    posterior = DirectPosterior(posterior_estimator=estimator, prior=prior)
+    s = posterior.sample((50,), x=jnp.zeros(D), key=jax.random.PRNGKey(1))
+    assert s.shape == (50, D) and bool(jnp.isfinite(s).all())
+
+
+def test_20_custom_potentials():
+    """20 (custom potentials): an analytic potential drives MCMCPosterior
+    through CustomPotentialWrapper; moments match the analytic target."""
+    from sbi_tpu.inference import MCMCPosterior
+    from sbi_tpu.inference.potentials.base_potential import (
+        CustomPotentialWrapper,
+    )
+    from sbi_tpu.utils.distributions import MultivariateNormal
+
+    seed_all_backends(0)
+    prior = MultivariateNormal(jnp.zeros(D), 4.0 * jnp.eye(D))
+    x_o = 0.5 * jnp.ones((1, D))
+
+    def potential(theta, x_o):  # exact Gaussian likelihood * prior
+        ll = -0.5 * jnp.sum((x_o - theta) ** 2 / 0.25, axis=-1)
+        return ll + prior.log_prob(theta)
+
+    posterior = MCMCPosterior(
+        CustomPotentialWrapper(potential, prior=prior, x_o=x_o),
+        proposal=prior, num_chains=50, warmup_steps=100,
+    )
+    s = posterior.sample((2000,), key=jax.random.PRNGKey(1))
+    # analytic posterior: mean = x_o * 4/(4+0.25), var = 1/(1/4+1/0.25)
+    post_mean = 0.5 * 4.0 / 4.25
+    post_std = (1.0 / (1.0 / 4.0 + 1.0 / 0.25)) ** 0.5
+    assert jnp.allclose(s.mean(0), post_mean, atol=0.1)
+    assert jnp.allclose(s.std(0), post_std, atol=0.1)
+
+
+def test_example_hodgkin_huxley():
+    """Example_00_HodgkinHuxleyModel: on-device HH simulator -> summaries
+    -> NPE -> posterior around the classic conductances."""
+    from sbi_tpu.simulators.hodgkin_huxley import hh_prior, hodgkin_huxley
+
+    seed_all_backends(0)
+    prior = hh_prior()
+    theta = prior.sample(jax.random.PRNGKey(0), (100,))
+    x = hodgkin_huxley(theta, key=jax.random.PRNGKey(1))
+    assert x.shape == (100, 7) and bool(jnp.isfinite(x).all())
+    v = hodgkin_huxley(theta[:4], key=jax.random.PRNGKey(2),
+                       return_trace=True)
+    assert v.ndim == 2 and v.shape[0] == 4
+    inference = NPE(prior=prior, density_estimator="mdn")
+    inference.append_simulations(theta, x).train(
+        training_batch_size=50, max_num_epochs=5, stop_after_epochs=5)
+    posterior = inference.build_posterior()
+    x_o = hodgkin_huxley(jnp.array([[120.0, 36.0]]),
+                         key=jax.random.PRNGKey(3))
+    s = posterior.sample((50,), x=x_o[0], key=jax.random.PRNGKey(4))
+    assert s.shape == (50, 2) and bool(jnp.isfinite(s).all())
+
+
+def test_example_decision_making_mnle():
+    """Example_01_DecisionMakingModel: MNLE over mixed (rt, choice) data."""
+    from sbi_tpu.inference import MNLE
+
+    seed_all_backends(0)
+    prior = BoxUniform(jnp.array([-2.0, -2.0]), jnp.array([2.0, 2.0]))
+    theta = prior.sample(jax.random.PRNGKey(0), (500,))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    rt = theta[:, :1] + 0.3 * jax.random.normal(k1, (500, 1))
+    choice = jax.random.bernoulli(
+        k2, jax.nn.sigmoid(2.0 * theta[:, 1:2])).astype(jnp.float32)
+    x = jnp.concatenate([rt, choice], axis=1)
+    inference = MNLE(prior=prior, num_discrete=1)
+    inference.append_simulations(theta, x)
+    inference.train(max_num_epochs=15, training_batch_size=100)
+    posterior = inference.build_posterior()
+    x_o = jnp.array([[0.5, 1.0]])
+    s = posterior.sample((50,), x=x_o, key=jax.random.PRNGKey(2),
+                         num_chains=10, warmup_steps=30)
+    assert s.shape == (50, 2) and bool(jnp.isfinite(s).all())
