@@ -17,8 +17,27 @@ import numpy as np
 
 def _to_np_list(samples) -> List[np.ndarray]:
     if isinstance(samples, (list, tuple)):
-        return [np.asarray(s) for s in samples]
-    return [np.asarray(samples)]
+        arrs = [np.asarray(s) for s in samples]
+    else:
+        arrs = [np.asarray(samples)]
+    # Drop non-finite rows like the reference's ensure_numpy path does
+    # (ref `tests/plot_test.py:35-45` feeds NaN/Inf samples) — one bad
+    # simulation must not take down the whole corner plot.
+    out = []
+    for a in arrs:
+        a2 = a.reshape(-1, 1) if a.ndim == 1 else a
+        mask = np.isfinite(a2).all(axis=tuple(range(1, a2.ndim)))
+        if not mask.all():
+            import warnings
+
+            warnings.warn(
+                f"pairplot: dropping {int((~mask).sum())} non-finite sample "
+                f"rows.",
+                stacklevel=3,
+            )
+            a2 = a2[mask]
+        out.append(a2)
+    return out
 
 
 # ---------------------------------------------------------------------------

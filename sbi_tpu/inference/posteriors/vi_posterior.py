@@ -49,6 +49,9 @@ def _make_q_flow(dim: int, q: str, key):
                 configs.append(
                     ("permutation", dict(perm=tuple(range(dim - 1, -1, -1))))
                 )
+    elif q == "gaussian_diag":
+        # Mean-field Gaussian (ref vi_pyro_flows "gaussian_diag").
+        configs = [("diag_affine", {})]
     elif q in ("nsf", "maf", "gaussian", "nice"):
         if q == "gaussian":
             # One affine autoregressive layer = full-cov Gaussian-ish family.
@@ -328,6 +331,23 @@ class VIPosterior(NeuralPosterior):
         num = 1
         for s in sample_shape:
             num *= int(s)
+        method = kwargs.get("method", "naive")
+        if method == "sir":
+            # Sampling-importance-resampling against the potential (ref
+            # `vi_posterior.py` sampling_method="sir"): draw an oversampled
+            # batch from q, resample by importance weights.
+            oversample = int(kwargs.get("oversampling_factor", 32))
+            k_prop, k_res = jax.random.split(key)
+            u = self._q_module.apply(
+                self._q_params, k_prop, num * oversample, None, method="sample"
+            )[:, 0, :]
+            theta_all = self.theta_transform.inverse(u)
+            # q's density in THETA space (transform Jacobian included)
+            lq_theta = self.log_prob(theta_all)
+            logw = self.potential_fn(theta_all) - lq_theta
+            idx = jax.random.categorical(k_res, logw, shape=(num,))
+            theta = theta_all[idx]
+            return theta.reshape(tuple(sample_shape) + (self._dim,))
         u = self._q_module.apply(self._q_params, key, num, None, method="sample")
         theta = self.theta_transform.inverse(u[:, 0, :])
         return theta.reshape(tuple(sample_shape) + (self._dim,))

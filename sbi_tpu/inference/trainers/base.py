@@ -251,7 +251,7 @@ class NeuralInference(ABC):
 
         batch_size = min(cfg.training_batch_size, len(train_idx))
         n_batches = max(1, len(train_idx) // batch_size)
-        tx = self._make_optimizer(cfg)
+        tx = self._make_optimizer(cfg, steps_per_epoch=n_batches)
         if cfg.resume_training and self._opt_state is not None:
             opt_state = self._opt_state
         else:
@@ -412,6 +412,10 @@ class NeuralInference(ABC):
         bootstrap: bool = False,
         start_idx: int = 0,
         member_train_indices=None,
+        lr_schedule: Optional[str] = None,
+        lr_decay_epochs: Optional[int] = None,
+        lr_warmup_frac: float = 0.02,
+        lr_final_factor: float = 0.01,
         key=None,
     ) -> list:
         """Train ``num_members`` independently initialized estimators as ONE
@@ -452,10 +456,6 @@ class NeuralInference(ABC):
         stacked = jax.tree_util.tree_map(
             lambda *ps: jnp.stack(ps), *[e.params for e in ests]
         )
-        tx = self._make_optimizer(
-            TrainConfig(learning_rate=learning_rate, clip_max_norm=clip_max_norm)
-        )
-        opt_state = jax.vmap(tx.init)(stacked)
 
         batch_size = min(training_batch_size, len(train_idx))
         n_batches = max(1, len(train_idx) // batch_size)
@@ -501,6 +501,20 @@ class NeuralInference(ABC):
             member_val_idx = jnp.broadcast_to(
                 val_idx_j, (num_members, len(val_idx))
             )
+
+        tx = self._make_optimizer(
+            TrainConfig(
+                learning_rate=learning_rate,
+                clip_max_norm=clip_max_norm,
+                max_num_epochs=max_num_epochs,
+                lr_schedule=lr_schedule,
+                lr_decay_epochs=lr_decay_epochs,
+                lr_warmup_frac=lr_warmup_frac,
+                lr_final_factor=lr_final_factor,
+            ),
+            steps_per_epoch=n_batches,
+        )
+        opt_state = jax.vmap(tx.init)(stacked)
 
         K = num_members
 
@@ -656,11 +670,24 @@ class NeuralInference(ABC):
             posteriors, potential_combination=potential_combination
         )
 
-    def _make_optimizer(self, cfg: TrainConfig):
+    def _make_optimizer(self, cfg: TrainConfig, steps_per_epoch: int = 1):
         chain = []
         if cfg.clip_max_norm is not None:
             chain.append(optax.clip_by_global_norm(cfg.clip_max_norm))
-        chain.append(optax.adam(cfg.learning_rate))
+        if cfg.lr_schedule == "cosine":
+            horizon_epochs = cfg.lr_decay_epochs or cfg.max_num_epochs
+            total = max(1, int(horizon_epochs) * max(1, int(steps_per_epoch)))
+            warmup = min(int(cfg.lr_warmup_frac * total), total - 1)
+            sched = optax.warmup_cosine_decay_schedule(
+                init_value=0.0 if warmup > 0 else cfg.learning_rate,
+                peak_value=cfg.learning_rate,
+                warmup_steps=warmup,
+                decay_steps=total,
+                end_value=cfg.learning_rate * cfg.lr_final_factor,
+            )
+            chain.append(optax.adam(sched))
+        else:
+            chain.append(optax.adam(cfg.learning_rate))
         if cfg.ema_params_decay is not None:
             chain.append(params_ema_transform(cfg.ema_params_decay))
         return optax.chain(*chain)

@@ -86,6 +86,10 @@ class MarginalTrainer(NeuralInference):
             retrain_from_scratch=retrain_from_scratch,
             show_train_summary=show_train_summary,
             epoch_chunk=int(kwargs.get("epoch_chunk", 1)),
+            lr_schedule=kwargs.get("lr_schedule"),
+            lr_decay_epochs=kwargs.get("lr_decay_epochs"),
+            lr_warmup_frac=float(kwargs.get("lr_warmup_frac", 0.02)),
+            lr_final_factor=float(kwargs.get("lr_final_factor", 0.01)),
         )
         key = next_key(key)
         _, x, _ = self.get_simulations(0)

@@ -561,6 +561,33 @@ class LULinear(nn.Module):
         return x, jnp.broadcast_to(-jnp.sum(log_diag), (y.shape[0],))
 
 
+class DiagAffine(nn.Module):
+    """Elementwise affine bijection x -> exp(log_scale) * x + shift.
+
+    The terminal layer of the reference's ``gaussian_diag`` variational
+    family (`sbi/samplers/vi/vi_pyro_flows.py` AffineTransform build): a
+    mean-field Gaussian when stacked on a standard-normal base.
+    """
+
+    dim: int
+
+    @nn.compact
+    def _params(self):
+        log_scale = self.param("log_scale", nn.initializers.zeros, (self.dim,))
+        shift = self.param("shift", nn.initializers.zeros, (self.dim,))
+        return log_scale, shift
+
+    def forward(self, x, context=None):
+        log_scale, shift = self._params()
+        y = x * jnp.exp(log_scale) + shift
+        return y, jnp.broadcast_to(jnp.sum(log_scale), (x.shape[0],))
+
+    def inverse(self, y, context=None):
+        log_scale, shift = self._params()
+        x = (y - shift) * jnp.exp(-log_scale)
+        return x, jnp.broadcast_to(-jnp.sum(log_scale), (y.shape[0],))
+
+
 class Permutation(nn.Module):
     """Fixed permutation of dims (reverse or given order)."""
 
@@ -664,6 +691,8 @@ class FlowModule(nn.Module):
                 layers.append(AdditiveCoupling(dim=self.dim, **kw))
             elif kind == "lu_linear":
                 layers.append(LULinear(dim=self.dim, **kw))
+            elif kind == "diag_affine":
+                layers.append(DiagAffine(dim=self.dim, **kw))
             elif kind == "monotone_ar":
                 from .monotone_flows import MonotoneAutoregressive
 

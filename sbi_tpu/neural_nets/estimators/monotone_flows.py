@@ -65,9 +65,14 @@ def _sos_transform(x, p, K, degree: int = 2):
         p[..., : K * n_coef].reshape(p.shape[:-1] + (K, n_coef))
     ) / jnp.sqrt(float(K))
     c = p[..., -1]
-    lin = 0.1
+    # Learnable linear slope (softplus-positive). A fixed small slope caps
+    # T'(0) at ~0.1 + sum a_k0^2 <= 0.14, so the flow could not even
+    # represent the identity on z-scored inputs — the init density was ~10x
+    # too broad and training had to fight the tanh bound (caught by
+    # tests/test_estimators_deep.py::test_log_prob_integrates_to_one_1d).
+    lin = jax.nn.softplus(p[..., -2]) + 1e-3
     y = c + lin * x
-    deriv = jnp.full_like(x, lin)
+    deriv = jnp.broadcast_to(lin, x.shape)
     for j in range(n_coef):
         for l in range(n_coef):
             term = coefs[..., :, j] * coefs[..., :, l]
@@ -132,7 +137,7 @@ def _gauss_cdf_transform(x, p, K):
 
 _TRANSFORMS = {
     "dsf": (_dsf_transform, lambda K: 3 * K),
-    "sos": (_sos_transform, lambda K: 3 * K + 1),
+    "sos": (_sos_transform, lambda K: 3 * K + 2),
     "bernstein": (_bernstein_transform, lambda K: K),
     "gauss_cdf": (_gauss_cdf_transform, lambda K: 3 * K),
 }

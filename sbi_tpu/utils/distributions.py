@@ -590,6 +590,31 @@ class MultipleIndependent(Distribution):
 
     def __init__(self, dists: Sequence[Distribution]):
         self.dists = list(dists)
+        # Reference validation (`user_input_checks_utils.py` MultipleIndependent
+        # asserts; exercised at `tests/user_input_checks_test.py:373-404`):
+        # >= 2 components, each a Distribution over >= 1 dim, no nesting.
+        if len(self.dists) < 2:
+            raise ValueError(
+                "MultipleIndependent needs at least two distributions; pass "
+                "the single prior directly instead."
+            )
+        for d in self.dists:
+            if not isinstance(d, Distribution):
+                raise TypeError(
+                    f"Component priors must be sbi_tpu Distributions, got "
+                    f"{type(d)}. Scalar/python distributions are not "
+                    f"supported — use e.g. Uniform(jnp.zeros(1), jnp.ones(1))."
+                )
+            if isinstance(d, MultipleIndependent):
+                raise TypeError(
+                    "Nested MultipleIndependent is not supported; pass a flat "
+                    "list of component distributions."
+                )
+            if d.event_shape == () and d.batch_shape == ():
+                raise ValueError(
+                    "Scalar component distributions are not supported; give "
+                    "each component a batch or event dimension of size >= 1."
+                )
         dims = []
         for d in self.dists:
             if len(d.event_shape) == 0:

@@ -119,3 +119,47 @@ def test_fresh_train_resets_epoch_counter():
     inf.train(max_num_epochs=2, training_batch_size=100)
     inf.train(max_num_epochs=2, training_batch_size=100)  # fresh call
     assert inf._epoch == 2
+
+
+def test_lr_schedule_cosine_anneals_and_validates():
+    """Cosine LR schedule (beyond-reference TrainConfig.lr_schedule): the
+    optimizer's effective step size decays over the horizon, an infinite
+    horizon raises, and train(lr_schedule=...) runs end-to-end."""
+    import optax
+
+    from sbi_tpu.inference.trainers._contracts import TrainConfig
+    from sbi_tpu.inference import NPE
+    from sbi_tpu.utils import BoxUniform
+
+    # contract: schedule without a finite horizon is rejected
+    with pytest.raises(ValueError, match="finite horizon"):
+        TrainConfig(lr_schedule="cosine")
+    with pytest.raises(ValueError, match="lr_schedule"):
+        TrainConfig(lr_schedule="linear", lr_decay_epochs=10)
+
+    # the built optimizer anneals: update magnitude shrinks over steps
+    cfg = TrainConfig(lr_schedule="cosine", lr_decay_epochs=10,
+                      learning_rate=1e-2, clip_max_norm=None,
+                      lr_final_factor=0.0)
+    inf = NPE(prior=BoxUniform(-jnp.ones(1), jnp.ones(1)))
+    tx = inf._make_optimizer(cfg, steps_per_epoch=10)
+    params = {"w": jnp.ones(3)}
+    state = tx.init(params)
+    grads = {"w": jnp.ones(3)}
+    sizes = []
+    for _ in range(100):
+        updates, state = tx.update(grads, state, params)
+        sizes.append(float(jnp.abs(updates["w"]).max()))
+    assert sizes[-1] < 1e-4 < sizes[30], sizes[::20]
+
+    # end-to-end: every trainer accepts the kwargs (spot-check NPE)
+    seed_all_backends(0)
+    prior = BoxUniform(-2 * jnp.ones(2), 2 * jnp.ones(2))
+    theta = prior.sample(jax.random.PRNGKey(0), (300,))
+    x = theta + 0.3 * jax.random.normal(jax.random.PRNGKey(1), theta.shape)
+    inf = NPE(prior=prior, density_estimator="mdn")
+    inf.append_simulations(theta, x)
+    inf.train(training_batch_size=100, max_num_epochs=10,
+              stop_after_epochs=10, epoch_chunk=5,
+              lr_schedule="cosine", lr_decay_epochs=10)
+    assert inf._neural_net is not None
