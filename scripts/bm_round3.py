@@ -136,7 +136,8 @@ def _restore_stacked(inf, K, path, label=""):
     return est, stacked
 
 
-def _train_stacked(inf, K, path, member_rows, batch_size, patience, label=""):
+def _train_stacked(inf, K, path, member_rows, batch_size, patience, label="",
+                   max_num_epochs=3000, **train_kw):
     """train_ensemble + checkpoint the stacked member params."""
     from sbi_tpu.utils.checkpointing import save_pytree
 
@@ -144,7 +145,8 @@ def _train_stacked(inf, K, path, member_rows, batch_size, patience, label=""):
     inf.train_ensemble(
         num_members=K, training_batch_size=batch_size,
         stop_after_epochs=patience, epoch_chunk=EPOCH_CHUNK,
-        member_train_indices=member_rows, max_num_epochs=3000,
+        member_train_indices=member_rows, max_num_epochs=max_num_epochs,
+        **train_kw,
     )
     est = inf._ensemble_estimators[0]
     stacked = inf._ensemble_stacked_params
@@ -176,7 +178,7 @@ def _score_obs_cached(obs_list, scores_path, score_fn):
 def run_poe_vmapped_slcp(per_member, n_members=16, rounds=1,
                          obs_list=(0, 1, 2), patience=100, batch_size=500,
                          ckpt_dir="/tmp/poe_slcp_ckpt", model="nsf",
-                         **est_kw):
+                         train_kw=None, **est_kw):
     """K-member PoE with disjoint per-member simulation blocks, trained as
     one vmapped program. rounds>1 draws later-round data from the current
     PoE posterior pooled over the benchmark observations (round-2 winner's
@@ -220,7 +222,7 @@ def run_poe_vmapped_slcp(per_member, n_members=16, rounds=1,
     else:
         est, stacked = _train_stacked(
             inf, K, f"{ckpt_dir}/round0", member_rows, batch_size, patience,
-            label="round 0",
+            label="round 0", **(train_kw or {}),
         )
 
     for r in range(1, rounds):

@@ -159,6 +159,21 @@ EXPERIMENTS = {
     "npse_tm_ens_s1": (lambda: run_npse_tm_ens(1), "npse-ens4-s1", "two_moons", 30000),
     "npse_tm_ens_s2": (lambda: run_npse_tm_ens(2), "npse-ens4-s2", "two_moons", 30000),
     "npse_tm_ens_s3": (lambda: run_npse_tm_ens(3), "npse-ens4-s3", "two_moons", 30000),
+    # SLCP better-single-head attack via OPTIMIZATION, not architecture:
+    # the K=2 log-scale Gaussian head is correctly specified per trial, so
+    # the residual ~0.03 over the 0.49 sampler floor is optimization noise
+    # of the MLE. Cosine-anneal each member's LR to ~0 over a fixed horizon
+    # (no early stop) to converge members far beyond constant-LR+patience.
+    "poe16_gauss_cosine_2m": (
+        lambda: bm3().run_poe_vmapped_slcp(
+            125_000, n_members=16, rounds=1, model="mdn", num_components=2,
+            scale_parameterization="log", num_layers=5, hidden_features=256,
+            batch_size=1024, patience=400,
+            ckpt_dir="/tmp/poe_cos2m_ckpt",
+            train_kw=dict(max_num_epochs=400, lr_schedule="cosine",
+                          lr_decay_epochs=400, lr_final_factor=1e-3)),
+        "nle-gauss-poe16-cos-2m", "slcp", 2_000_000,
+    ),
     "npse_tm_s1": (lambda: run_npse_tm_seeded(1), "npse-s1", "two_moons", 30000),
     "npse_tm_s2": (lambda: run_npse_tm_seeded(2), "npse-s2", "two_moons", 30000),
     "npse_tm_s3": (lambda: run_npse_tm_seeded(3), "npse-s3", "two_moons", 30000),
