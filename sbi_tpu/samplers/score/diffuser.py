@@ -55,7 +55,7 @@ def euler_maruyama_predictor(estimator, params, z, cond_z, t0, t1, key):
 
 @register_corrector("langevin")
 def langevin_corrector(estimator, params, z, cond_z, t, key, snr: float = 0.16,
-                       num_steps: int = 1):
+                       num_steps: int = 1, **kwargs):
     tb = jnp.broadcast_to(t, (z.shape[0],))
 
     def body(carry, k):
@@ -74,15 +74,37 @@ def langevin_corrector(estimator, params, z, cond_z, t, key, snr: float = 0.16,
 
 
 @register_corrector("gibbs")
-def gibbs_corrector(estimator, params, z, cond_z, t, key, **kwargs):
-    """Ancestral resampling corrector: re-noise from the marginal."""
-    tb = jnp.broadcast_to(t, (z.shape[0],))
-    score = estimator.score_z_fn(params, z, cond_z, tb)
-    std = estimator.std_fn(tb)[:, None]
-    z0_hat = z + std**2 * score  # denoised estimate (Tweedie)
-    mean_t = estimator.mean_t_fn(tb)[:, None]
-    eps = jax.random.normal(key, z.shape)
-    return mean_t * z0_hat / jnp.clip(mean_t, 1e-6) + std * eps
+def gibbs_corrector(estimator, params, z, cond_z, t, key, t_prev=None,
+                    num_steps: int = 5, **kwargs):
+    """(Pseudo) Gibbs corrector, matching the reference's scheme
+    (`sbi/samplers/score/correctors.py:134-166`): alternately re-noise one
+    step FORWARD via the forward SDE, then denoise with the reverse
+    predictor — an approximate Gibbs move that preserves the time-t
+    marginal. (The previous Tweedie-mean re-noising systematically
+    inflated the marginal variance; caught by
+    tests/test_score_samplers_deep.py's analytic-score grid.)"""
+    t1 = t
+    t0 = t_prev if t_prev is not None else jnp.minimum(
+        t1 * 1.25 + 1e-3, estimator.t_max
+    )
+    dt = t0 - t1  # positive (forward in diffusion time)
+    t1b = jnp.broadcast_to(t1, (z.shape[0],))
+
+    def body(carry, k):
+        z = carry
+        k_n, k_d = jax.random.split(k)
+        # forward SDE t1 -> t0
+        f = estimator.drift_fn(z, t1b)
+        g = estimator.diffusion_fn(z, t1b)
+        eps = jax.random.normal(k_n, z.shape)
+        z = z + f * dt + g * jnp.sqrt(dt) * eps
+        # reverse predictor t0 -> t1
+        z = euler_maruyama_predictor(estimator, params, z, cond_z, t0, t1, k_d)
+        return z, None
+
+    keys = jax.random.split(key, num_steps)
+    z, _ = jax.lax.scan(body, z, keys)
+    return z
 
 
 class Diffuser:
@@ -152,7 +174,8 @@ class Diffuser:
             kp, kc = jax.random.split(k)
             z = predictor(est, params, z, cond_rep, t0, t1, kp)
             if corrector is not None:
-                z = corrector(est, params, z, cond_rep, t1, kc, **corrector_params)
+                z = corrector(est, params, z, cond_rep, t1, kc, t_prev=t0,
+                              **corrector_params)
             return z, None
 
         keys = jax.random.split(k_run, ts.shape[0] - 1)
