@@ -610,11 +610,9 @@ class MultipleIndependent(Distribution):
                     "Nested MultipleIndependent is not supported; pass a flat "
                     "list of component distributions."
                 )
-            if d.event_shape == () and d.batch_shape == ():
-                raise ValueError(
-                    "Scalar component distributions are not supported; give "
-                    "each component a batch or event dimension of size >= 1."
-                )
+            # (scalar components are allowed — they contribute one dim;
+            # unlike torch, jax scalar distributions have well-defined
+            # batch-of-one semantics here.)
         dims = []
         for d in self.dists:
             if len(d.event_shape) == 0:
