@@ -152,7 +152,11 @@ class BoxToUnboundedTransform(Transform):
 
     def inverse_and_log_det(self, y):
         width = self.high - self.low
-        u = jax.nn.sigmoid(y)
+        # Clamp into the OPEN interval (torch clamp_probs behavior): at
+        # |y| >~ 17, float32 sigmoid saturates to exactly 0/1, putting
+        # MCMC states on the closed boundary where bounded priors are
+        # log_prob = -inf and HMC gradients NaN.
+        u = jnp.clip(jax.nn.sigmoid(y), 1e-7, 1.0 - 1e-7)
         x = self.low + width * u
         ldj = jnp.sum(jnp.log(width) + jax.nn.log_sigmoid(y) + jax.nn.log_sigmoid(-y), axis=-1)
         return x, ldj
