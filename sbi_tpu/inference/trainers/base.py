@@ -399,6 +399,16 @@ class NeuralInference(ABC):
             f"{type(self).__name__} does not support train_ensemble yet."
         )
 
+    def _ensemble_val_loss_fn(self) -> Callable:
+        """Validation loss for :meth:`train_ensemble`'s per-member best-val
+        snapshots. Defaults to the training loss; trainers with a noisy
+        stochastic loss (VF trainers: random diffusion times) override this
+        with a variance-reduced objective — noisy member validation makes
+        'best-val' snapshots effectively random draws, which poisoned
+        ensemble members while single-model training (fixed val time grid)
+        was fine."""
+        return self._ensemble_loss_fn()
+
     def train_ensemble(
         self,
         num_members: int,
@@ -452,6 +462,7 @@ class NeuralInference(ABC):
         if self._neural_net is None:
             self._neural_net = ests[0]
         loss_fn = self._ensemble_loss_fn()
+        val_loss_fn = self._ensemble_val_loss_fn()
 
         stacked = jax.tree_util.tree_map(
             lambda *ps: jnp.stack(ps), *[e.params for e in ests]
@@ -566,7 +577,7 @@ class NeuralInference(ABC):
                 (p, s), losses = jax.lax.scan(body, (p, s), (idx, bkeys))
 
                 def member_val(pm, km, vi):
-                    return loss_fn(
+                    return val_loss_fn(
                         pm, km, theta[vi], x[vi], masks[vi]
                     ).mean()
 

@@ -156,6 +156,27 @@ class VectorFieldTrainer(NeuralInference):
 
         return loss_fn
 
+    def _ensemble_val_loss_fn(self):
+        """Fixed-time-grid validation, matching single-model VF training
+        (`:131-146`): the raw random-time loss is far too noisy for the
+        per-member best-val snapshots in train_ensemble."""
+        est = self._neural_net
+        val_times = jnp.linspace(1e-3, 1.0 - 1e-3, 20)
+        fixed_noise_key = jax.random.PRNGKey(0)
+
+        def val_loss_fn(params, k, theta_b, x_b, masks_b):
+            B = theta_b.shape[0]
+
+            def at_t(t):
+                return est.loss_fn(
+                    params, theta_b, x_b, fixed_noise_key,
+                    times=jnp.full((B,), t),
+                )
+
+            return jax.vmap(at_t)(val_times).mean(axis=0)
+
+        return val_loss_fn
+
     def _postprocess_epoch_losses(self, train_losses, val_losses):
         """EMA summarization (ref `base_vf_inference.py:597-623`): the
         recorded loss curves are exponential moving averages, chained across
