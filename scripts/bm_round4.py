@@ -201,6 +201,11 @@ EXPERIMENTS = {
     "npse_tm_ens_s1": (lambda: run_npse_tm_ens(1), "npse-ens4-s1", "two_moons", 30000),
     "npse_tm_ens_s2": (lambda: run_npse_tm_ens(2), "npse-ens4-s2", "two_moons", 30000),
     "npse_tm_ens_s3": (lambda: run_npse_tm_ens(3), "npse-ens4-s3", "two_moons", 30000),
+    # Rerun after the fixed-time-grid ensemble validation fix ("fv"): the
+    # first ens4 runs snapshotted members at noisy random-time val minima.
+    "npse_tm_ens_fv_s1": (lambda: run_npse_tm_ens(1), "npse-ens4-fv-s1", "two_moons", 30000),
+    "npse_tm_ens_fv_s2": (lambda: run_npse_tm_ens(2), "npse-ens4-fv-s2", "two_moons", 30000),
+    "npse_tm_ens_fv_s3": (lambda: run_npse_tm_ens(3), "npse-ens4-fv-s3", "two_moons", 30000),
     # SLCP better-single-head attack via OPTIMIZATION, not architecture:
     # the K=2 log-scale Gaussian head is correctly specified per trial, so
     # the residual ~0.03 over the 0.49 sampler floor is optimization noise
