@@ -221,6 +221,21 @@ EXPERIMENTS = {
                           lr_decay_epochs=400, lr_final_factor=1e-3)),
         "nle-gauss-poe16-cos-2m", "slcp", 2_000_000,
     ),
+    # The untried SLCP lever: PER-MEMBER data. poe16@2M and poe32@4M both
+    # use 125k/member and tie (0.5202 vs 0.5224) — member count is
+    # saturated, so the residual is per-member estimation error of the
+    # (correctly-specified) head, which scales with member data, not K.
+    # 250k/member x 16, cosine-annealed to full convergence.
+    "poe16_gauss_4m": (
+        lambda: bm3().run_poe_vmapped_slcp(
+            250_000, n_members=16, rounds=1, model="mdn", num_components=2,
+            scale_parameterization="log", num_layers=5, hidden_features=256,
+            batch_size=2048, patience=400,
+            ckpt_dir="/tmp/poe_4m_ckpt",
+            train_kw=dict(max_num_epochs=400, lr_schedule="cosine",
+                          lr_decay_epochs=400, lr_final_factor=1e-3)),
+        "nle-gauss-poe16-4m", "slcp", 4_000_000,
+    ),
     "npse_tm_s1": (lambda: run_npse_tm_seeded(1), "npse-s1", "two_moons", 30000),
     "npse_tm_s2": (lambda: run_npse_tm_seeded(2), "npse-s2", "two_moons", 30000),
     "npse_tm_s3": (lambda: run_npse_tm_seeded(3), "npse-s3", "two_moons", 30000),
