@@ -145,3 +145,31 @@ def test_train_ensemble_marginal():
     # baseline evaluated on the same (shifted, scale-0.5) data.
     for lp in lps:
         assert lp.mean() > -2.0
+
+
+def test_vf_ensemble_val_loss_is_key_independent(lg_data):
+    """Regression: VF train_ensemble member snapshots must use the
+    fixed-time-grid validation objective, not the raw random-time loss
+    (whose variance made 'best val' a random draw and poisoned members).
+    The contract pinned here: the ensemble val loss is deterministic in
+    the PRNG key while the training loss is not."""
+    from sbi_tpu.inference import NPSE
+
+    prior, theta, x = lg_data
+    inf = NPSE(prior=prior)
+    inf.append_simulations(theta, x)
+    inf.train_ensemble(num_members=2, max_num_epochs=2, epoch_chunk=1)
+
+    train_loss = inf._ensemble_loss_fn()
+    val_loss = inf._ensemble_val_loss_fn()
+    params = inf._neural_net.params
+    masks = jnp.ones((64,), dtype=bool)
+    args = (theta[:64], x[:64], masks)
+
+    v1 = float(val_loss(params, jr.PRNGKey(0), *args).mean())
+    v2 = float(val_loss(params, jr.PRNGKey(123), *args).mean())
+    assert v1 == v2, "ensemble val loss must not depend on the PRNG key"
+
+    t1 = float(train_loss(params, jr.PRNGKey(0), *args).mean())
+    t2 = float(train_loss(params, jr.PRNGKey(123), *args).mean())
+    assert t1 != t2, "sanity: the raw VF training loss is stochastic"
