@@ -181,3 +181,36 @@ def test_device_placement_grid(lg, data_device_idx, train_device_idx):
     assert bool(jnp.isfinite(samples).all())
     lp = post.log_prob(samples[:5])
     assert bool(jnp.isfinite(lp).all())
+
+
+# --------------------------------------------- NLE x sampler x iid trials
+@pytest.mark.slow
+@pytest.mark.parametrize("method", ["slice_jax_vectorized", "hmc", "nuts"])
+@pytest.mark.parametrize("num_trials", [1, 5])
+def test_nle_sampler_iid_trial_grid(trained_nle, method, num_trials):
+    """Cross cells the per-family iid tests skip: EVERY MCMC kernel must
+    compose the per-trial likelihood terms identically — the multi-trial
+    posterior's first two moments must track the analytic conjugate
+    product posterior (ref `linearGaussian_snle_test.py` parametrizes
+    num_trials the same way)."""
+    x_iid = jnp.zeros((num_trials, NUM_DIM))
+    post = trained_nle.build_posterior(
+        sample_with="mcmc",
+        mcmc_method=method,
+        mcmc_parameters=dict(num_chains=20, warmup_steps=100, thin=2),
+    )
+    samples = post.sample((600,), x=x_iid, key=jr.PRNGKey(40 + num_trials))
+    gt = true_posterior_linear_gaussian_mvn_prior(
+        x_iid, SHIFT, LIK_COV, jnp.zeros(NUM_DIM), jnp.eye(NUM_DIM)
+    ).sample(jr.PRNGKey(41), (600,))
+    tag = f"nle-{method}-trials{num_trials}"
+    assert np.allclose(
+        np.asarray(samples.mean(0)), np.asarray(gt.mean(0)), atol=0.25
+    ), f"{tag}: mean {samples.mean(0)} vs {gt.mean(0)}"
+    # Variance must scale with the trial count (the analytic posterior
+    # variance drops ~x(1/num_trials) through the product of likelihoods).
+    assert np.allclose(
+        np.asarray(samples.var(0)), np.asarray(gt.var(0)), rtol=0.6
+    ), f"{tag}: var {samples.var(0)} vs {gt.var(0)}"
+    score = float(c2st(samples, gt))
+    assert score < 0.66, f"{tag}: c2st {score}"
