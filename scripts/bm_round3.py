@@ -204,10 +204,27 @@ def run_poe_vmapped_slcp(per_member, n_members=16, rounds=1,
     inf = NLE_A(prior=prior, density_estimator=est_builder)
 
     # Round 1: K disjoint fresh blocks (deterministic keys -> reproducible
-    # across resumes).
+    # across resumes). Simulate in <=1M-sim chunks materialized to host:
+    # a monolithic 4M-sim program (16M pairs) wedges the TPU tunnel at the
+    # first sync — twice, reproducibly — while 2M-sim programs never have.
+    # Chunk keys are fold_in(chunk)-derived, so the data stream differs
+    # from the old single-shot draw; completed checkpoints are unaffected
+    # (restore skips training, and eval never touches the training data).
     print("  simulating round-0 data...", flush=True)
-    theta = prior.sample(jr.PRNGKey(500), (K * per_round,))
-    x = bench.simulator(theta, key=jr.PRNGKey(600))
+    sim_chunk = 1_000_000
+    total = K * per_round
+    theta_parts, x_parts = [], []
+    for lo in range(0, total, sim_chunk):
+        n = min(sim_chunk, total - lo)
+        ck = lo // sim_chunk
+        th = prior.sample(jr.fold_in(jr.PRNGKey(500), ck), (n,))
+        xx = bench.simulator(th, key=jr.fold_in(jr.PRNGKey(600), ck))
+        theta_parts.append(np.asarray(th))
+        x_parts.append(np.asarray(xx))
+        print(f"  sim chunk {ck}: {lo + n}/{total}", flush=True)
+    theta = jnp.asarray(np.concatenate(theta_parts))
+    x = jnp.asarray(np.concatenate(x_parts))
+    del theta_parts, x_parts
     print("  data ready", flush=True)
     inf.append_simulations(jnp.repeat(theta, 4, axis=0), x.reshape(-1, 2))
     member_rows = [
