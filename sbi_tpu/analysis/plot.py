@@ -40,6 +40,36 @@ def _to_np_list(samples) -> List[np.ndarray]:
     return out
 
 
+def _to_np_points_list(points, dim: int) -> List[np.ndarray]:
+    """`points` overlays (ADVICE r4): a 1-D array of length ``dim`` is ONE
+    D-dimensional point (one row), not ``dim`` rows of a 1-D variable; and a
+    non-finite coordinate is a caller bug that raises a clear error instead
+    of being silently dropped (row-dropping is for sample arrays only)."""
+    if isinstance(points, (list, tuple)):
+        arrs = [np.asarray(p) for p in points]
+    else:
+        arrs = [np.asarray(points)]
+    out = []
+    for a in arrs:
+        if a.ndim == 1:
+            a2 = a.reshape(-1, 1) if dim == 1 else a.reshape(1, -1)
+        else:
+            a2 = a.reshape(-1, a.shape[-1])
+        if a2.shape[-1] != dim:
+            raise ValueError(
+                f"pairplot: `points` has {a2.shape[-1]} coordinates per "
+                f"point but the samples have {dim} dimensions."
+            )
+        if not np.isfinite(a2).all():
+            raise ValueError(
+                "pairplot: `points` contains non-finite values (shape "
+                f"{tuple(a.shape)}). Fix or remove the bad point — unlike "
+                "sample rows, overlay points are not silently dropped."
+            )
+        out.append(a2)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Plotting-option dataclasses (ref `plotting_classes.py`)
 # ---------------------------------------------------------------------------
@@ -477,7 +507,7 @@ def pairplot(
                             ),
                         )
                 if points is not None:
-                    for pi, p in enumerate(_to_np_list(points)):
+                    for pi, p in enumerate(_to_np_points_list(points, D)):
                         ax.axvline(
                             p.reshape(-1, D)[0, di],
                             color=fig_opts.points_colors[
@@ -508,7 +538,7 @@ def pairplot(
                         ax, xs, ys, tuple(lim[dj]), tuple(lim[di]), mode, opts
                     )
                 if points is not None:
-                    for pi, p in enumerate(_to_np_list(points)):
+                    for pi, p in enumerate(_to_np_points_list(points, D)):
                         p2 = p.reshape(-1, D)
                         ax.plot(
                             p2[0, dj], p2[0, di],
@@ -610,7 +640,7 @@ def marginal_plot(
         for k, s in enumerate(sample_list):
             _draw_diag_cell(ax, s[:, dj], diag_modes[k], diag_opts[k])
         if points is not None:
-            for pi, p in enumerate(_to_np_list(points)):
+            for pi, p in enumerate(_to_np_points_list(points, D)):
                 ax.axvline(
                     p.reshape(-1, D)[0, dj],
                     color=fig_opts.points_colors[

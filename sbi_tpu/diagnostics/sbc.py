@@ -29,13 +29,17 @@ def get_posterior_samples_on_batch(
     xs: Array,
     key=None,
     use_batched_sampling: bool = True,
+    mesh=None,
 ) -> Array:
     """(num_samples, num_xs, dim_theta) — batched if the posterior supports
-    it (ref `utils/diagnostics_utils.py:19`)."""
+    it (ref `utils/diagnostics_utils.py:19`). ``mesh`` shards the
+    observation axis across the device mesh (passed through to
+    ``sample_batched``)."""
     key = next_key(key)
     if use_batched_sampling:
         try:
-            return posterior.sample_batched(sample_shape, xs, key=key)
+            kw = {"mesh": mesh} if mesh is not None else {}
+            return posterior.sample_batched(sample_shape, xs, key=key, **kw)
         except (NotImplementedError, AttributeError):
             pass
     outs = []
@@ -54,11 +58,17 @@ def run_sbc(
     reduce_fns: Union[str, Callable, List[Callable]] = "marginals",
     key=None,
     use_batched_sampling: bool = True,
+    mesh=None,
     **kwargs,
 ) -> Tuple[Array, Array]:
     """Returns (ranks (N, num_metrics), dap_samples (N, dim)).
 
     ranks[i, j] = #{posterior samples with metric_j < metric_j(theta*_i)}.
+
+    ``mesh`` (``None``/``"auto"``/int/``jax.sharding.Mesh``) shards the N
+    observations over the device mesh: posterior sampling and the marginal
+    rank computation both run n-way parallel (this is BASELINE config 3's
+    "diagnostics batch across the TPU mesh" path).
     """
     thetas = jnp.asarray(thetas, jnp.float32)
     xs = jnp.atleast_2d(jnp.asarray(xs, jnp.float32))
@@ -75,12 +85,19 @@ def run_sbc(
         )
 
     key = next_key(key)
+    from ..parallel.mesh import resolve_mesh, shard_along
+
+    mesh = resolve_mesh(mesh)
+    if mesh is not None:
+        thetas = jax.device_put(thetas, shard_along(mesh))
+        xs = jax.device_put(xs, shard_along(mesh))
     samples = get_posterior_samples_on_batch(
         posterior,
         (num_posterior_samples,),
         xs,
         key=key,
         use_batched_sampling=use_batched_sampling,
+        mesh=mesh,
     )  # (L, N, D)
     dap_samples = samples[0]  # data-averaged posterior draws
 

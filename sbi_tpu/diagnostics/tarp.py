@@ -33,18 +33,27 @@ def run_tarp(
     z_score_theta: bool = True,
     key=None,
     use_batched_sampling: bool = True,
+    mesh=None,
 ) -> Tuple[Array, Array]:
     """Returns (ecp, alpha_grid): expected coverage probability at each
-    credibility level."""
+    credibility level. ``mesh`` shards the N observations over the device
+    mesh (sampling + distance computations run n-way parallel)."""
     key = next_key(key)
     thetas = jnp.asarray(thetas, jnp.float32)
     xs = jnp.atleast_2d(jnp.asarray(xs, jnp.float32))
     N = thetas.shape[0]
 
+    from ..parallel.mesh import resolve_mesh, shard_along
+
+    mesh = resolve_mesh(mesh)
+    if mesh is not None:
+        thetas = jax.device_put(thetas, shard_along(mesh))
+        xs = jax.device_put(xs, shard_along(mesh))
+
     k_samp, k_ref = jax.random.split(key)
     samples = get_posterior_samples_on_batch(
         posterior, (num_posterior_samples,), xs, key=k_samp,
-        use_batched_sampling=use_batched_sampling,
+        use_batched_sampling=use_batched_sampling, mesh=mesh,
     )  # (L, N, D)
 
     if num_bins is None:

@@ -110,6 +110,7 @@ class DirectPosterior(NeuralPosterior):
         max_sampling_batch_size: Optional[int] = None,
         max_total_proposals: int = 200_000,
         starvation_policy: str = "mcmc",
+        mesh=None,
         **kwargs,
     ) -> Array:
         """Vectorized over a batch of observations: (sample..., B, D).
@@ -134,6 +135,14 @@ class DirectPosterior(NeuralPosterior):
         assert starvation_policy in ("mcmc", "raise"), starvation_policy
         key = next_key(key)
         x = jnp.atleast_2d(jnp.asarray(x, jnp.float32))
+        # ``mesh`` shards the OBSERVATION axis: each device runs the full
+        # rejection loop for its slice of x (per-observation work is
+        # independent — no collectives beyond the shared stop decision).
+        from ...parallel.mesh import resolve_mesh, shard_along, shard_axis
+
+        mesh = resolve_mesh(mesh)
+        if mesh is not None:
+            x = jax.device_put(x, shard_along(mesh))
         B = x.shape[0]
         num_samples = 1
         for s in sample_shape:
@@ -171,6 +180,9 @@ class DirectPosterior(NeuralPosterior):
 
         collected = jnp.zeros((S, B, D))
         counts = jnp.zeros((B,), jnp.int32)
+        if mesh is not None:
+            collected = jax.device_put(collected, shard_axis(mesh, 1))
+            counts = jax.device_put(counts, shard_along(mesh))
         proposals = 0
         while proposals < max_total_proposals:
             key, sub = jax.random.split(key)

@@ -188,8 +188,14 @@ class MCMCPosterior(NeuralPosterior):
         num_chains: Optional[int] = None,
         init_strategy: Optional[str] = None,
         show_progress_bars: bool = False,
+        mesh=None,
         **kwargs,
     ) -> Array:
+        """``mesh`` (``None``/``"auto"``/int/``jax.sharding.Mesh``) shards the
+        CHAIN axis over the mesh's first axis — every sweep of the vectorized
+        kernel then runs n-way parallel with no cross-chain collectives
+        (chains are independent). ``num_chains`` should be a multiple of the
+        mesh size for an even split."""
         key = next_key(key)
         self.potential_fn.set_x(
             self._x_else_default_x(x),
@@ -208,6 +214,11 @@ class MCMCPosterior(NeuralPosterior):
 
         k_init, k_run = jax.random.split(key)
         inits = self._get_initial_params(num_chains, key=k_init)
+        from ...parallel.mesh import resolve_mesh, shard_along
+
+        mesh = resolve_mesh(mesh)
+        if mesh is not None:
+            inits = jax.device_put(inits, shard_along(mesh))
         pot_u = self._prepare_potential(method)
         per_chain = max(1, math.ceil(num_samples / num_chains))
         # Bounded-program mode (all in-repo kernels): warmup once, then
@@ -256,6 +267,7 @@ class MCMCPosterior(NeuralPosterior):
         x: Array,
         key=None,
         num_chains: Optional[int] = None,
+        mesh=None,
         **kwargs,
     ) -> Array:
         """Batched observations: num_chains per x, ONE vectorized sampler run
@@ -276,7 +288,7 @@ class MCMCPosterior(NeuralPosterior):
                 k = jax.random.fold_in(key, b)
                 s = self.sample(
                     (num_samples,), x=x[b][None], key=k, num_chains=num_chains,
-                    **kwargs,
+                    mesh=mesh, **kwargs,
                 )
                 samples_all.append(s)
             out = jnp.stack(samples_all, axis=1)  # (num_samples, B, D)
@@ -302,6 +314,13 @@ class MCMCPosterior(NeuralPosterior):
         )(logw, jax.random.split(jax.random.fold_in(k_init, 1), B))
         inits = cand[idx.reshape(-1)]  # (B*num_chains, D)
         inits_u = self.theta_transform.forward(inits)
+        from ...parallel.mesh import resolve_mesh, shard_along
+
+        mesh = resolve_mesh(mesh)
+        if mesh is not None:
+            # Shard the flattened (observation, chain) axis: all B*num_chains
+            # chains advance n-way parallel in the one sampler run.
+            inits_u = jax.device_put(inits_u, shard_along(mesh))
 
         from ...samplers.mcmc.slice_fsm import run_slice_vectorized_fsm
 

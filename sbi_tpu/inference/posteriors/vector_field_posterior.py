@@ -177,6 +177,7 @@ class VectorFieldPosterior(NeuralPosterior):
         steps: int = 500,
         ts: Optional[Array] = None,
         max_rejection_rounds: int = 20,
+        mesh=None,
         **kwargs,
     ) -> Array:
         """Vectorized over a batch of observations: (sample..., B, D).
@@ -257,6 +258,15 @@ class VectorFieldPosterior(NeuralPosterior):
 
         collected = jnp.zeros((S, B, D))
         counts = jnp.zeros((B,), jnp.int32)
+        from ...parallel.mesh import resolve_mesh, shard_along, shard_axis
+
+        m = resolve_mesh(mesh)
+        if m is not None:
+            # Observation-sharded reverse-SDE solve: each device advances the
+            # candidate batches of its slice of x (independent per-obs work).
+            x = jax.device_put(x, shard_along(m))
+            collected = jax.device_put(collected, shard_axis(m, 1))
+            counts = jax.device_put(counts, shard_along(m))
         for _ in range(max_rejection_rounds):
             key, sub = jax.random.split(key)
             collected, counts = round_fn(

@@ -46,6 +46,14 @@ class TrainConfig:
     lr_decay_epochs: Optional[int] = None
     lr_warmup_frac: float = 0.02
     lr_final_factor: float = 0.01
+    mesh: Any = None
+    """Device mesh for data-parallel training: ``None`` (single device),
+    ``"auto"`` (1-D mesh over all visible devices), an int (first n
+    devices), or a ``jax.sharding.Mesh``. Data and parameters are
+    replicated; each batch's loss/grad compute is sharded over the mesh's
+    first axis and gradients are all-reduced by the XLA partitioner —
+    numerics match single-device training. TPU-first counterpart of the
+    reference's device plumbing (ref `trainers/base.py:288-310`)."""
 
     def __post_init__(self):
         if self.training_batch_size <= 0:

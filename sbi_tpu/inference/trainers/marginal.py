@@ -90,6 +90,7 @@ class MarginalTrainer(NeuralInference):
             lr_decay_epochs=kwargs.get("lr_decay_epochs"),
             lr_warmup_frac=float(kwargs.get("lr_warmup_frac", 0.02)),
             lr_final_factor=float(kwargs.get("lr_final_factor", 0.01)),
+            mesh=kwargs.get("mesh"),
         )
         key = next_key(key)
         _, x, _ = self.get_simulations(0)

@@ -114,6 +114,7 @@ class PosteriorEstimatorTrainer(NeuralInference):
             lr_decay_epochs=kwargs.get("lr_decay_epochs"),
             lr_warmup_frac=float(kwargs.get("lr_warmup_frac", 0.02)),
             lr_final_factor=float(kwargs.get("lr_final_factor", 0.01)),
+            mesh=kwargs.get("mesh"),
         )
         key = next_key(key)
 

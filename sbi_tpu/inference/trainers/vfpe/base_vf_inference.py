@@ -115,6 +115,7 @@ class VectorFieldTrainer(NeuralInference):
             lr_decay_epochs=kwargs.get("lr_decay_epochs"),
             lr_warmup_frac=float(kwargs.get("lr_warmup_frac", 0.02)),
             lr_final_factor=float(kwargs.get("lr_final_factor", 0.01)),
+            mesh=kwargs.get("mesh"),
             ema_params_decay=ema_params_decay,
         )
         key = next_key(key)

@@ -135,6 +135,10 @@ def _gauss_cdf_transform(x, p, K):
     return y, jnp.clip(pdf * dy_dcdf, 1e-8)
 
 
+# PARAM-LAYOUT NOTE (round 4): 'sos' changed from 3K+1 to 3K+2 params/dim
+# (a learnable linear slope was added). Checkpoints of sos flows saved before
+# that change fail to restore with a shape error on the MADE output head —
+# rebuild the estimator and retrain (no other transform's layout changed).
 _TRANSFORMS = {
     "dsf": (_dsf_transform, lambda K: 3 * K),
     "sos": (_sos_transform, lambda K: 3 * K + 2),

@@ -15,12 +15,63 @@ all-reduced by XLA automatically when inputs are sharded.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def resolve_mesh(mesh: Union[None, str, int, Mesh]) -> Optional[Mesh]:
+    """Normalize the public ``mesh=`` argument accepted by trainers,
+    posteriors, and diagnostics.
+
+    - ``None`` -> ``None`` (single-device execution, the default);
+    - ``"auto"`` -> a 1-D ``'data'`` mesh over ALL visible devices
+      (``None`` when only one device is visible — nothing to shard over);
+    - an ``int`` n -> a 1-D ``'data'`` mesh over the first n devices;
+    - a ``jax.sharding.Mesh`` -> returned unchanged (its FIRST axis is used
+      as the data/chain/observation/member axis).
+    """
+    if mesh is None:
+        return None
+    if isinstance(mesh, Mesh):
+        return mesh
+    if mesh == "auto":
+        devices = jax.devices()
+        if len(devices) < 2:
+            return None
+        return get_mesh(("data",), devices=devices)
+    if isinstance(mesh, int):
+        devices = jax.devices()
+        if mesh > len(devices):
+            raise ValueError(
+                f"mesh={mesh} devices requested but only {len(devices)} "
+                "are visible."
+            )
+        return get_mesh(("data",), devices=devices[:mesh])
+    raise TypeError(
+        f"mesh must be None, 'auto', an int, or a jax.sharding.Mesh; "
+        f"got {type(mesh).__name__}."
+    )
+
+
+def shard_axis(mesh: Mesh, axis: int = 0, axis_name: Optional[str] = None) -> NamedSharding:
+    """Sharding that splits array axis ``axis`` across the mesh's data axis
+    (axes before it are replicated)."""
+    axis_name = axis_name or mesh.axis_names[0]
+    return NamedSharding(mesh, P(*((None,) * axis), axis_name))
+
+
+def constrain_sharded(tree, mesh: Mesh, axis: int = 0):
+    """``with_sharding_constraint``: split axis ``axis`` of every leaf over
+    the mesh's data axis. For use INSIDE jit-traced code (the trainers'
+    fused epoch programs); outside jit use :func:`shard_batch`."""
+    sharding = shard_axis(mesh, axis)
+    return jax.tree_util.tree_map(
+        lambda t: jax.lax.with_sharding_constraint(t, sharding), tree
+    )
 
 
 def get_mesh(

@@ -168,14 +168,30 @@ class Diffuser:
         predictor = self.predictor
         corrector = self.corrector
         corrector_params = self.corrector_params
+        # The corrector registry is public: only pass t_prev to correctors
+        # that declare it (or **kwargs) — externally registered correctors
+        # with the old (est, params, z, cond, t, key) signature keep working.
+        corrector_takes_t_prev = False
+        if corrector is not None:
+            import inspect
+
+            try:
+                sig = inspect.signature(corrector)
+                corrector_takes_t_prev = "t_prev" in sig.parameters or any(
+                    p.kind is inspect.Parameter.VAR_KEYWORD
+                    for p in sig.parameters.values()
+                )
+            except (TypeError, ValueError):
+                pass
 
         def step(z, inp):
             t0, t1, k = inp
             kp, kc = jax.random.split(k)
             z = predictor(est, params, z, cond_rep, t0, t1, kp)
             if corrector is not None:
-                z = corrector(est, params, z, cond_rep, t1, kc, t_prev=t0,
-                              **corrector_params)
+                extra = {"t_prev": t0} if corrector_takes_t_prev else {}
+                z = corrector(est, params, z, cond_rep, t1, kc,
+                              **extra, **corrector_params)
             return z, None
 
         keys = jax.random.split(k_run, ts.shape[0] - 1)

@@ -53,7 +53,22 @@ def restore_pytree(path: str, like: Optional[Any] = None) -> Any:
         else a,
         like,
     )
-    return ckpt.restore(path, target)
+    try:
+        return ckpt.restore(path, target)
+    except ValueError as err:
+        # Orbax shape/structure mismatches are opaque; the usual cause here
+        # is an estimator whose parameter LAYOUT changed between saving and
+        # restoring (e.g. the round-4 'sos' monotone flow grew from 3K+1 to
+        # 3K+2 params/dim). Name that cause explicitly (ADVICE r4).
+        raise ValueError(
+            f"Checkpoint restore from '{path}' failed with a shape/structure "
+            "mismatch against the target pytree. This usually means the "
+            "estimator architecture (or its parameter layout) changed since "
+            "the checkpoint was saved — e.g. 'sos' monotone flows saved "
+            "before round 4 use an incompatible 3K+1 layout. Rebuild with "
+            "the original architecture or retrain. Original error: "
+            f"{err}"
+        ) from err
 
 
 def save_training_state(path: str, inference) -> str:

@@ -10,6 +10,7 @@ also accepts an explicit ``key=``.
 from __future__ import annotations
 
 import warnings
+from functools import partial
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -117,6 +118,23 @@ def assert_transform_to_unconstrained_supported(
         )
 
 
+@partial(jax.jit, static_argnums=(1,))
+def _zscore_warn_stats(x, outlier_iqr_factor: float):
+    """Per-dim (std, constant?, outlier?, any-valid-iqr?) in one device
+    program; only D-sized flags are transferred to host."""
+    x = x.astype(jnp.float32)
+    std = jnp.std(x, axis=0)
+    constant = std < 1e-14
+    q = jnp.quantile(x, jnp.asarray([0.25, 0.75], x.dtype), axis=0)
+    q1, q3 = q[0], q[1]
+    iqr = q3 - q1
+    valid_iqr = iqr > 1e-14
+    lower = q1 - outlier_iqr_factor * iqr
+    upper = q3 + outlier_iqr_factor * iqr
+    outlier = ((x < lower) | (x > upper)).any(axis=0) & valid_iqr
+    return std, constant, outlier, valid_iqr.any()
+
+
 def warn_if_invalid_for_zscoring(x: Array, outlier_iqr_factor: float = 10.0) -> None:
     """Warn about data properties that degrade z-scoring.
 
@@ -127,7 +145,11 @@ def warn_if_invalid_for_zscoring(x: Array, outlier_iqr_factor: float = 10.0) -> 
     values are squashed together. Host-side trace-time check on the training
     batch; never runs inside jit.
     """
-    x = np.asarray(x, dtype=np.float64)
+    # Stats run ON DEVICE (one fused reduction program) and only per-dim
+    # flags come back to host: converting multi-million-row simulation
+    # buffers to host float64 and sorting them in numpy stalled large PoE
+    # pipelines for minutes per member build on the remote-TPU tunnel.
+    x = jnp.asarray(x)
     if x.ndim > 2:
         x = x.reshape(x.shape[0], -1)
     if x.shape[0] <= 1:
@@ -138,8 +160,8 @@ def warn_if_invalid_for_zscoring(x: Array, outlier_iqr_factor: float = 10.0) -> 
             stacklevel=2,
         )
         return
-    std = x.std(axis=0)
-    constant_dims = np.where(std < 1e-14)[0]
+    std, constant, outlier, any_valid_iqr = _zscore_warn_stats(x, outlier_iqr_factor)
+    constant_dims = np.where(np.asarray(constant))[0]
     if constant_dims.size > 0:
         warnings.warn(
             f"Data has constant values in dimension(s) {constant_dims.tolist()}. "
@@ -149,15 +171,9 @@ def warn_if_invalid_for_zscoring(x: Array, outlier_iqr_factor: float = 10.0) -> 
             stacklevel=2,
         )
         return
-    q1 = np.quantile(x, 0.25, axis=0)
-    q3 = np.quantile(x, 0.75, axis=0)
-    iqr = q3 - q1
-    valid_iqr = iqr > 1e-14
-    if not valid_iqr.any():
+    if not bool(any_valid_iqr):
         return
-    lower = q1 - outlier_iqr_factor * iqr
-    upper = q3 + outlier_iqr_factor * iqr
-    outlier_dims = np.where(((x < lower) | (x > upper)).any(axis=0) & valid_iqr)[0]
+    outlier_dims = np.where(np.asarray(outlier))[0]
     if outlier_dims.size > 0:
         warnings.warn(
             f"Data has extreme outliers in dimension(s) {outlier_dims.tolist()} "

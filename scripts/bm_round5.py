@@ -1,0 +1,181 @@
+"""Round-5 mini-sbibm experiment driver.
+
+Targets (VERDICT round 4):
+  2. SLCP <= 0.50: per-member data scaling (poe16@4M landed 0.5133, down
+     from 0.5202 @2M) -> 8M; structured (m, chol S) head = the K=1
+     full-covariance log-scale Gaussian head (exactly the per-trial
+     likelihood's parameterization).
+  4. NPSE two_moons seed spread < 0.03: per-member FRESH simulation draws
+     (members no longer inherit one seed's data-draw outliers) + 4000-sample
+     C2ST eval (the 2000-sample metric noise is ~+/-0.02).
+  5. gaussian_linear npe-nsf <= 0.55 @30k: fewer bins / wider tail_bound /
+     affine-heavy hybrid.
+
+Runs on the real TPU backend. Every PoE stage checkpoints (crash-resume).
+"""
+
+import csv
+import faulthandler
+import os
+import sys
+import time
+
+faulthandler.enable()
+faulthandler.dump_traceback_later(600, repeat=True)
+
+import importlib.util as _u
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+
+
+def _load(name):
+    spec = _u.spec_from_file_location(name, os.path.join(_HERE, f"{name}.py"))
+    m = _u.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+_BM3 = None
+
+
+def bm3():
+    global _BM3
+    if _BM3 is None:
+        _BM3 = _load("bm_round3")
+    return _BM3
+
+
+def run_npse_tm_ens_fresh(seed, per_member=30000, n_members=4,
+                          batch_size=200, patience=50, eval_n=4000):
+    """NPSE two_moons ensemble with PER-MEMBER FRESH simulation draws:
+    each member trains on its own disjoint fresh block (so a data-draw
+    outlier poisons at most one member, not all four), and the C2ST eval
+    uses 4000 samples vs the reference's 10k-sample golden posteriors to
+    cut metric noise below the spread target."""
+    from sbi_tpu.inference import NPSE
+    from sbi_tpu.neural_nets.factory import posterior_score_nn
+    from sbi_tpu.utils.metrics import c2st
+
+    b3 = bm3()
+    bench = b3.get_bench_task("two_moons")
+    prior = bench.prior
+    b3.seed_all_backends(seed)
+    total = per_member * n_members
+    theta = prior.sample(jr.PRNGKey(1000 * seed), (total,))
+    x = bench.simulator(theta, key=jr.PRNGKey(1000 * seed + 1))
+    est = posterior_score_nn(model="ada_mlp", sde_type="vp",
+                             hidden_features=256, num_layers=6)
+    inference = NPSE(prior=prior, density_estimator=est)
+    inference.append_simulations(theta, x)
+    member_rows = [
+        np.arange(m * per_member, (m + 1) * per_member)
+        for m in range(n_members)
+    ]
+    inference.train_ensemble(
+        num_members=n_members, training_batch_size=batch_size,
+        epoch_chunk=25, stop_after_epochs=patience,
+        member_train_indices=member_rows,
+    )
+    scores = []
+    for i in (0, 1, 2):
+        x_o = bench.get_observation(i)
+        ens = inference.build_ensemble_posterior(
+            potential_combination="mixture")
+        ens.set_default_x(x_o)
+        ref = bench.get_reference_posterior_samples(i)
+        n = min(eval_n, ref.shape[0])
+        samples = ens.sample((n,), key=jr.PRNGKey(1000 * seed + 10 + i),
+                             steps=1000, corrector="langevin")
+        s = float(c2st(samples, ref[:n]))
+        scores.append(s)
+        print(f"  obs {i}: c2st={s:.4f}", flush=True)
+    return scores
+
+
+EXPERIMENTS = {
+    # --- SLCP campaign -----------------------------------------------------
+    # Structured head: the per-trial likelihood IS N(m(theta), S(theta)), so
+    # a K=1 full-covariance log-scale Gaussian head (mean + Cholesky scale)
+    # is the exactly-correctly-specified regression — no mixture-weight
+    # freedom to misallocate. (VERDICT r4 item 2's "(m, chol S)-structured
+    # head"; ref recipe context `sbi/neural_nets/net_builders/flow.py`.)
+    "poe16_chol_4m": (
+        lambda: bm3().run_poe_vmapped_slcp(
+            250_000, n_members=16, rounds=1, model="mdn", num_components=1,
+            scale_parameterization="log", num_layers=5, hidden_features=256,
+            batch_size=2048, patience=400,
+            ckpt_dir="/tmp/poe_chol4m_ckpt",
+            train_kw=dict(max_num_epochs=400, lr_schedule="cosine",
+                          lr_decay_epochs=400, lr_final_factor=1e-3)),
+        "nle-chol-poe16-4m", "slcp", 4_000_000,
+    ),
+    # Per-member data scaling, step 2: 4M halved the 2M gap to the 0.49
+    # sampler floor (0.5202 -> 0.5133); 8M doubles per-member data again.
+    "poe16_gauss_8m": (
+        lambda: bm3().run_poe_vmapped_slcp(
+            500_000, n_members=16, rounds=1, model="mdn", num_components=2,
+            scale_parameterization="log", num_layers=5, hidden_features=256,
+            batch_size=4096, patience=400,
+            ckpt_dir="/tmp/poe_8m_ckpt",
+            train_kw=dict(max_num_epochs=400, lr_schedule="cosine",
+                          lr_decay_epochs=400, lr_final_factor=1e-3)),
+        "nle-gauss-poe16-8m", "slcp", 8_000_000,
+    ),
+    # --- NPSE seed-spread closure (VERDICT item 4) --------------------------
+    "npse_tm_fresh_s1": (
+        lambda: run_npse_tm_ens_fresh(1), "npse-ens4-fresh-s1", "two_moons", 120000,
+    ),
+    "npse_tm_fresh_s2": (
+        lambda: run_npse_tm_ens_fresh(2), "npse-ens4-fresh-s2", "two_moons", 120000,
+    ),
+    "npse_tm_fresh_s3": (
+        lambda: run_npse_tm_ens_fresh(3), "npse-ens4-fresh-s3", "two_moons", 120000,
+    ),
+    # --- gaussian_linear npe-nsf @30k (VERDICT item 5) -----------------------
+    # The task's posterior is exactly Gaussian: give the spline less to do
+    # (fewer bins), more reach (wider tails), and an affine pre-layer that
+    # can carry the exact solution.
+    "npe_gl_nsf_30k_b5t8": (
+        lambda: bm3().run_npe_gl_tuned(
+            30_000, model="nsf", hidden_features=100, num_transforms=5,
+            interleave_affine=True, num_bins=5, tail_bound=8.0),
+        "npe-nsf-b5t8", "gaussian_linear", 30_000,
+    ),
+    "npe_gl_nsf_30k_b4t10": (
+        lambda: bm3().run_npe_gl_tuned(
+            30_000, model="nsf", hidden_features=100, num_transforms=6,
+            interleave_affine=True, num_bins=4, tail_bound=10.0),
+        "npe-nsf-b4t10", "gaussian_linear", 30_000,
+    ),
+}
+
+
+def main():
+    name = sys.argv[1]
+    out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/bm_results_round5.csv"
+    fn, label, task, sims = EXPERIMENTS[name]
+    print(f"=== {name}: {label} x {task} @ {sims} sims", flush=True)
+    t0 = time.time()
+    scores = fn()
+    mean = sum(scores) / len(scores)
+    print(f"=== {name}: mean {mean:.4f} ({time.time()-t0:.0f}s)", flush=True)
+    write_header = not os.path.exists(out)
+    with open(out, "a", newline="") as f:
+        w = csv.writer(f)
+        if write_header:
+            w.writerow(["method", "task", "num_simulations", "c2st_mean",
+                        "c2st_obs0", "c2st_obs1", "c2st_obs2"])
+        w.writerow([label, task, sims, round(mean, 4)] +
+                   [round(s, 4) for s in scores])
+
+
+if __name__ == "__main__":
+    main()

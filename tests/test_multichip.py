@@ -1,19 +1,20 @@
-"""Multi-chip sharding regression tests on the 8-virtual-device CPU mesh
-(conftest sets xla_force_host_platform_device_count=8).
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh, exercised
+ENTIRELY through the public API (``mesh=`` arguments on train /
+train_ensemble / sample / sample_batched / run_sbc / run_tarp) — no
+hand-rolled ``device_put`` in the harness. Conftest provides
+``xla_force_host_platform_device_count=8``.
 
 These commit the paths the driver's dryrun probes (SURVEY §2.7): data-
-parallel training, chain-sharded MCMC, and observation-sharded diagnostics
-with a psum'd reduction — so the parallel design is protected by the suite,
-not just the external dryrun.
+parallel training, member-sharded ensembles, chain-sharded MCMC, and
+observation-sharded amortized sampling + diagnostics.
 """
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from jax.sharding import NamedSharding, PartitionSpec as P
 
-from sbi_tpu.parallel.mesh import get_mesh, replicate, shard_along, shard_batch
+from sbi_tpu.parallel.mesh import get_mesh, resolve_mesh
 from sbi_tpu.utils.sbiutils import seed_all_backends
 
 
@@ -23,178 +24,231 @@ def mesh():
     return get_mesh(("data",), devices=jax.devices()[:8])
 
 
-def test_dp_train_step_matches_single_device(mesh):
-    """A sharded-batch train step must produce the same update as the
-    unsharded one (gradients all-reduced by the partitioner)."""
-    import optax
+def test_resolve_mesh_forms(mesh):
+    from jax.sharding import Mesh
 
-    from sbi_tpu.neural_nets.net_builders.mdn import build_mdn
+    assert resolve_mesh(None) is None
+    assert isinstance(resolve_mesh("auto"), Mesh)
+    assert resolve_mesh(4).devices.size == 4
+    assert resolve_mesh(mesh) is mesh
+    with pytest.raises(ValueError):
+        resolve_mesh(10_000)
+    with pytest.raises(TypeError):
+        resolve_mesh(3.5)
+
+
+def _train_npe(mesh_arg, key, max_num_epochs=5):
+    """One NPE training run through the public API, fully seeded."""
+    from sbi_tpu.inference import NPE
+    from sbi_tpu.utils.distributions import BoxUniform
 
     seed_all_backends(0)
-    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-    theta = jax.random.normal(k1, (64, 3))
-    x = jax.random.normal(k2, (64, 4))
-    est = build_mdn(theta, x, key=jax.random.PRNGKey(1))
-    tx = optax.adam(1e-3)
-
-    @jax.jit
-    def step(params, opt_state, tb, xb):
-        loss, g = jax.value_and_grad(
-            lambda p: est.loss_fn(p, tb, xb).mean()
-        )(params)
-        updates, opt_state = tx.update(g, opt_state, params)
-        return optax.apply_updates(params, updates), loss
-
-    # single device
-    p0 = est.params
-    s0 = tx.init(p0)
-    p_single, l_single = step(p0, s0, theta, x)
-
-    # sharded
-    p_rep = replicate(p0, mesh)
-    s_rep = tx.init(p_rep)
-    tb, xb = shard_batch((theta, x), mesh)
-    p_shard, l_shard = step(p_rep, s_rep, tb, xb)
-
-    assert np.allclose(float(l_single), float(l_shard), rtol=1e-5)
-    flat_s = jax.tree.leaves(p_single)
-    flat_p = jax.tree.leaves(p_shard)
-    for a, b in zip(flat_s, flat_p):
-        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    prior = BoxUniform(-2 * jnp.ones(2), 2 * jnp.ones(2))
+    theta = prior.sample(jax.random.PRNGKey(0), (512,))
+    x = theta + 0.1 * jax.random.normal(jax.random.PRNGKey(1), theta.shape)
+    inf = NPE(prior=prior, density_estimator="mdn")
+    inf.append_simulations(theta, x).train(
+        training_batch_size=64, max_num_epochs=max_num_epochs,
+        mesh=mesh_arg, key=key,
+    )
+    return inf
 
 
-def test_chain_sharded_mcmc_moments(mesh):
-    """FSM slice chains sharded over the mesh still sample the target."""
-    from sbi_tpu.samplers.mcmc.slice_fsm import run_slice_vectorized_fsm
+def test_train_mesh_matches_single_device(mesh):
+    """`train(mesh=mesh)` must reproduce single-device numerics: the batch is
+    sharded over the mesh and the partitioner all-reduces the gradients —
+    same math, n-way compute."""
+    key = jax.random.PRNGKey(42)
+    inf_single = _train_npe(None, key)
+    inf_mesh = _train_npe(mesh, key)
+
+    vl_s = np.asarray(inf_single.summary["validation_loss"])
+    vl_m = np.asarray(inf_mesh.summary["validation_loss"])
+    np.testing.assert_allclose(vl_m, vl_s, rtol=1e-4, atol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(inf_single._neural_net.params),
+        jax.tree_util.tree_leaves(inf_mesh._neural_net.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_train_mesh_auto_and_int_forms():
+    """mesh='auto' and mesh=<int> are accepted by the public train()."""
+    inf = _train_npe("auto", jax.random.PRNGKey(0))
+    assert np.isfinite(inf.summary["validation_loss"][-1])
+    inf = _train_npe(4, jax.random.PRNGKey(0))
+    assert np.isfinite(inf.summary["validation_loss"][-1])
+
+
+def test_train_ensemble_mesh_matches_unsharded(mesh):
+    """`train_ensemble(mesh=mesh)` shards the member axis; per-member val
+    losses and best params must match the unsharded vmapped program."""
+    from sbi_tpu.inference import NLE
+    from sbi_tpu.utils.distributions import BoxUniform
+
+    def run(mesh_arg):
+        seed_all_backends(0)
+        prior = BoxUniform(-2 * jnp.ones(2), 2 * jnp.ones(2))
+        theta = prior.sample(jax.random.PRNGKey(0), (256,))
+        x = theta + 0.2 * jax.random.normal(jax.random.PRNGKey(1), theta.shape)
+        inf = NLE(prior=prior, density_estimator="mdn")
+        inf.append_simulations(theta, x)
+        members = inf.train_ensemble(
+            num_members=8, training_batch_size=64, max_num_epochs=4,
+            epoch_chunk=2, mesh=mesh_arg, key=jax.random.PRNGKey(7),
+        )
+        return inf, members
+
+    inf_ref, _ = run(None)
+    inf_sh, members = run(mesh)
+    np.testing.assert_allclose(
+        np.asarray(inf_sh.summary["validation_loss"]),
+        np.asarray(inf_ref.summary["validation_loss"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(inf_ref._ensemble_stacked_params),
+        jax.tree_util.tree_leaves(inf_sh._ensemble_stacked_params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+    # the member axis really is distributed across all 8 devices
+    leaf = jax.tree_util.tree_leaves(inf_sh._ensemble_stacked_params)[0]
+    assert len(leaf.sharding.device_set) == 8
+    assert len(members) == 8
+
+
+def test_chain_sharded_mcmc_public_api(mesh):
+    """MCMCPosterior.sample(mesh=...) shards the chain axis and still samples
+    the target distribution."""
+    from sbi_tpu.inference import CustomPotentialWrapper
+    from sbi_tpu.inference.posteriors import MCMCPosterior
+    from sbi_tpu.utils.distributions import MultivariateNormal
 
     cov = jnp.array([[1.0, 0.6], [0.6, 1.5]])
     prec = jnp.linalg.inv(cov)
 
-    def potential(t):
-        return -0.5 * jnp.einsum("bi,ij,bj->b", t, prec, t)
+    def potential(theta):
+        return -0.5 * jnp.einsum("bi,ij,bj->b", theta, prec, theta)
 
-    inits = jax.random.normal(jax.random.PRNGKey(0), (128, 2))
-    inits = jax.device_put(inits, shard_along(mesh))
-    draws = run_slice_vectorized_fsm(
-        potential, inits, num_samples=150, warmup_steps=100,
-        key=jax.random.PRNGKey(1),
+    prior = MultivariateNormal(jnp.zeros(2), 4.0 * jnp.eye(2))
+    pot = CustomPotentialWrapper(potential, prior)
+    posterior = MCMCPosterior(
+        pot, proposal=prior, num_chains=64, warmup_steps=100, thin=2,
+        init_strategy="proposal",
     )
-    flat = np.asarray(draws).reshape(-1, 2)
+    samples = posterior.sample(
+        (2000,), x=jnp.zeros(1), key=jax.random.PRNGKey(3), mesh=mesh
+    )
+    flat = np.asarray(samples)
     assert np.allclose(flat.mean(0), 0.0, atol=0.15)
     assert np.allclose(np.cov(flat.T), np.asarray(cov), atol=0.35)
 
 
-def test_observation_sharded_rank_histogram_psum(mesh):
-    """SBC-style rank computation sharded over observations with an
-    all-reduced (psum) histogram via shard_map."""
-    from jax.experimental.shard_map import shard_map
-
-    seed_all_backends(0)
-    N_OBS, L, D = 64, 50, 2
-    key = jax.random.PRNGKey(0)
-    thetas = jax.random.normal(key, (N_OBS, D))
-    # posterior samples drawn from the SAME distribution -> uniform ranks
-    post = jax.random.normal(jax.random.fold_in(key, 1), (N_OBS, L, D))
-
-    @jax.jit
-    def hist_sharded(thetas, post):
-        def local(th, po):
-            ranks = (po < th[:, None, :]).sum(axis=1)  # (n_local, D)
-            onehot = jax.nn.one_hot(ranks, L + 1)  # (n_local, D, L+1)
-            local_hist = onehot.sum(axis=0)  # (D, L+1)
-            return jax.lax.psum(local_hist, "data")
-
-        return shard_map(
-            local,
-            mesh=mesh,
-            in_specs=(P("data"), P("data")),
-            out_specs=P(),
-        )(thetas, post)
-
-    hist = hist_sharded(
-        jax.device_put(thetas, shard_along(mesh)),
-        jax.device_put(post, shard_along(mesh)),
-    )
-    assert hist.shape == (D, L + 1)
-    assert float(hist.sum()) == N_OBS * D
-    # uniformity: no bin wildly over-occupied (loose sanity bound)
-    expected = N_OBS * D / (L + 1)
-    assert float(hist.max()) < 12 * expected
-
-
 def test_observation_sharded_amortized_sampling(mesh):
-    """DirectPosterior.sample_batched with observations sharded over the
-    mesh executes and returns per-observation posteriors."""
-    from sbi_tpu.inference import NPE
+    """DirectPosterior.sample_batched(mesh=...) shards observations over the
+    mesh and returns per-observation posteriors."""
+    inf = _train_npe(None, jax.random.PRNGKey(0), max_num_epochs=40)
+    posterior = inf.build_posterior()
+
+    xs = jnp.linspace(-1.0, 1.0, 16)[:, None] * jnp.ones((1, 2))
+    samples = posterior.sample_batched(
+        (64,), xs, key=jax.random.PRNGKey(2), mesh=mesh
+    )
+    assert samples.shape == (64, 16, 2)
+    means = np.asarray(samples.mean(axis=0))
+    assert np.corrcoef(means[:, 0], np.asarray(xs[:, 0]))[0, 1] > 0.9
+
+
+def test_mcmc_sample_batched_mesh(mesh):
+    """MCMCPosterior.sample_batched(mesh=...) shards the (obs, chain) axis."""
+    from sbi_tpu.inference import NLE
 
     from sbi_tpu.utils.distributions import BoxUniform
 
     seed_all_backends(0)
     prior = BoxUniform(-2 * jnp.ones(2), 2 * jnp.ones(2))
-    theta = prior.sample(jax.random.PRNGKey(0), (500,))
-    x = theta + 0.1 * jax.random.normal(jax.random.PRNGKey(1), theta.shape)
-    inf = NPE(prior=prior, density_estimator="mdn")
-    inf.append_simulations(theta, x).train(max_num_epochs=40)
-    posterior = inf.build_posterior()
-
-    xs = jnp.linspace(-1.0, 1.0, 16)[:, None] * jnp.ones((1, 2))
-    xs = jax.device_put(xs, shard_along(mesh))
-    samples = posterior.sample_batched((64,), xs, key=jax.random.PRNGKey(2))
-    assert samples.shape == (64, 16, 2)
-    # each observation's posterior mean should track its x
+    theta = prior.sample(jax.random.PRNGKey(0), (400,))
+    x = theta + 0.2 * jax.random.normal(jax.random.PRNGKey(1), theta.shape)
+    inf = NLE(prior=prior, density_estimator="mdn")
+    inf.append_simulations(theta, x).train(max_num_epochs=30)
+    posterior = inf.build_posterior(mcmc_parameters=dict(
+        num_chains=16, warmup_steps=50, thin=1,
+    ))
+    xs = jnp.array([[0.5, 0.5], [-0.5, -0.5], [1.0, -1.0], [0.0, 0.0]])
+    samples = posterior.sample_batched(
+        (50,), xs, key=jax.random.PRNGKey(5), mesh=mesh
+    )
+    assert samples.shape == (50, 4, 2)
     means = np.asarray(samples.mean(axis=0))
+    # posterior means should track the observations (x = theta + noise)
     assert np.corrcoef(means[:, 0], np.asarray(xs[:, 0]))[0, 1] > 0.9
 
 
-def test_member_sharded_ensemble_step_matches_unsharded(mesh):
-    """train_ensemble's member axis sharded over the mesh must produce the
-    SAME per-member losses/updates as the unsharded vmapped step (members
-    are independent: no collectives, pure placement)."""
-    import optax
+def test_run_sbc_mesh_matches_unsharded(mesh):
+    """run_sbc(mesh=...) shards observations; ranks must match the unsharded
+    run bit-for-bit (same keys, same math)."""
+    from sbi_tpu.diagnostics import run_sbc
 
-    from sbi_tpu.neural_nets.net_builders.flow import build_nsf
+    inf = _train_npe(None, jax.random.PRNGKey(1))
+    posterior = inf.build_posterior()
 
     seed_all_backends(0)
-    key = jax.random.PRNGKey(0)
-    theta = jax.random.normal(key, (64, 3))
-    x = jax.random.normal(jax.random.fold_in(key, 1), (64, 4))
-    members = [
-        build_nsf(theta, x, hidden_features=16, num_transforms=2,
-                  key=jax.random.fold_in(key, 10 + i))
-        for i in range(8)
-    ]
-    est = members[0]
-    stacked = jax.tree_util.tree_map(
-        lambda *p: jnp.stack(p), *[m.params for m in members]
+    prior = inf._prior
+    thetas = prior.sample(jax.random.PRNGKey(10), (32,))
+    xs = thetas + 0.1 * jax.random.normal(jax.random.PRNGKey(11), thetas.shape)
+
+    ranks_ref, dap_ref = run_sbc(
+        thetas, xs, posterior, num_posterior_samples=100,
+        key=jax.random.PRNGKey(12),
     )
-    tx = optax.adam(1e-3)
-    opt = jax.vmap(tx.init)(stacked)
-
-    def step(params, opt_state):
-        def member_step(pm, sm):
-            def loss(q):
-                return est.loss_fn(q, theta, x).mean()
-
-            l, g = jax.value_and_grad(loss)(pm)
-            up, sm = tx.update(g, sm, pm)
-            return optax.apply_updates(pm, up), sm, l
-
-        return jax.vmap(member_step)(params, opt_state)
-
-    # Unsharded reference.
-    p_ref, _, l_ref = jax.jit(step)(stacked, opt)
-    # Member-sharded execution.
-    sharded = jax.device_put(stacked, NamedSharding(mesh, P("data")))
-    opt_sh = jax.vmap(tx.init)(sharded)
-    p_sh, _, l_sh = jax.jit(step)(sharded, opt_sh)
-
+    ranks_sh, dap_sh = run_sbc(
+        thetas, xs, posterior, num_posterior_samples=100,
+        key=jax.random.PRNGKey(12), mesh=mesh,
+    )
+    np.testing.assert_array_equal(np.asarray(ranks_sh), np.asarray(ranks_ref))
     np.testing.assert_allclose(
-        np.asarray(l_sh), np.asarray(l_ref), rtol=1e-5
+        np.asarray(dap_sh), np.asarray(dap_ref), atol=1e-5
     )
-    for a, b in zip(
-        jax.tree_util.tree_leaves(p_sh), jax.tree_util.tree_leaves(p_ref)
-    ):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
-    # the member axis really is distributed
-    leaf = jax.tree_util.tree_leaves(p_sh)[0]
-    assert len(leaf.sharding.device_set) == 8
+
+
+def test_run_tarp_mesh(mesh):
+    """run_tarp(mesh=...) executes observation-sharded and returns a sane
+    coverage curve."""
+    from sbi_tpu.diagnostics import run_tarp
+
+    inf = _train_npe(None, jax.random.PRNGKey(2))
+    posterior = inf.build_posterior()
+
+    seed_all_backends(0)
+    prior = inf._prior
+    thetas = prior.sample(jax.random.PRNGKey(20), (32,))
+    xs = thetas + 0.1 * jax.random.normal(jax.random.PRNGKey(21), thetas.shape)
+    ecp, alpha = run_tarp(
+        thetas, xs, posterior, num_posterior_samples=100,
+        key=jax.random.PRNGKey(22), mesh=mesh,
+    )
+    ecp = np.asarray(ecp)
+    assert ecp.shape == np.asarray(alpha).shape
+    assert np.isfinite(ecp).all()
+    assert ecp[0] == 0.0 and ecp[-1] <= 1.0
+
+
+def test_vf_sample_batched_mesh(mesh):
+    """VectorFieldPosterior.sample_batched(mesh=...) runs the observation-
+    sharded reverse-SDE path."""
+    from sbi_tpu.inference import NPSE
+    from sbi_tpu.utils.distributions import BoxUniform
+
+    seed_all_backends(0)
+    prior = BoxUniform(-2 * jnp.ones(2), 2 * jnp.ones(2))
+    theta = prior.sample(jax.random.PRNGKey(0), (300,))
+    x = theta + 0.1 * jax.random.normal(jax.random.PRNGKey(1), theta.shape)
+    inf = NPSE(prior=prior)
+    inf.append_simulations(theta, x).train(max_num_epochs=10)
+    posterior = inf.build_posterior()
+    xs = jnp.array([[0.5, 0.5], [-0.5, -0.5], [1.0, -1.0], [0.0, 0.0]] * 2)
+    samples = posterior.sample_batched(
+        (16,), xs, key=jax.random.PRNGKey(2), steps=40, mesh=mesh
+    )
+    assert samples.shape == (16, 8, 2)
+    assert np.isfinite(np.asarray(samples)).all()

