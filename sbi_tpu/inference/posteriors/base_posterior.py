@@ -51,10 +51,15 @@ class NeuralPosterior:
         self._map = None
         return self
 
-    def _x_else_default_x(self, x: Optional[Array]) -> Array:
+    def _x_else_default_x(self, x: Optional[Array]) -> Optional[Array]:
         if x is not None:
             return jnp.atleast_2d(jnp.asarray(x, jnp.float32))
         if self.default_x is None:
+            # A custom potential that closes over theta only (no x_o
+            # parameter) is a complete log density — sampling it needs no
+            # observation.
+            if getattr(self.potential_fn, "requires_x", True) is False:
+                return None
             raise ValueError(
                 "Context x needed when a default has not been set. Use "
                 "`.set_default_x(x)` or pass `x=...`."

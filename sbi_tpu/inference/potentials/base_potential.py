@@ -89,12 +89,27 @@ class CustomPotential:
 
 
 class CustomPotentialWrapper(BasePotential):
-    """Wrap a plain callable into the potential protocol (ref `:109-156`)."""
+    """Wrap a plain callable into the potential protocol (ref `:109-156`).
+
+    A callable that takes only `theta` (no `x_o` parameter) is a fully
+    self-contained log density: `requires_x` is False and posteriors built
+    on it sample without `set_default_x`/`x=`.
+    """
 
     allow_iid_x = True
 
     def __init__(self, potential_fn: Callable, prior, x_o=None, device=None):
         self._fn = potential_fn
+        try:
+            import inspect
+
+            params = inspect.signature(potential_fn).parameters
+            self.requires_x = len(params) >= 2 or any(
+                p.kind in (p.VAR_POSITIONAL, p.VAR_KEYWORD)
+                for p in params.values()
+            )
+        except (TypeError, ValueError):  # builtins / odd callables
+            self.requires_x = True
         super().__init__(prior, x_o, device)
 
     def __call__(self, theta, track_gradients: bool = True):

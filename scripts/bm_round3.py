@@ -178,7 +178,7 @@ def _score_obs_cached(obs_list, scores_path, score_fn):
 def run_poe_vmapped_slcp(per_member, n_members=16, rounds=1,
                          obs_list=(0, 1, 2), patience=100, batch_size=500,
                          ckpt_dir="/tmp/poe_slcp_ckpt", model="nsf",
-                         train_kw=None, **est_kw):
+                         train_kw=None, eval_n=2000, **est_kw):
     """K-member PoE with disjoint per-member simulation blocks, trained as
     one vmapped program. rounds>1 draws later-round data from the current
     PoE posterior pooled over the benchmark observations (round-2 winner's
@@ -296,8 +296,10 @@ def run_poe_vmapped_slcp(per_member, n_members=16, rounds=1,
             )
 
     return _score_obs_cached(
-        obs_list, f"{ckpt_dir}/scores.json",
-        lambda i: _eval_poe(est, stacked, prior, bench, i)[0],
+        obs_list,
+        f"{ckpt_dir}/scores.json" if eval_n == 2000
+        else f"{ckpt_dir}/scores_n{eval_n}.json",
+        lambda i: _eval_poe(est, stacked, prior, bench, i, n=eval_n)[0],
     )
 
 
@@ -387,7 +389,8 @@ def run_poe_mixed_slcp(
     return _score_obs_cached(obs_list, f"{ckpt_dir}/scores.json", score)
 
 
-def run_npe_gl_tuned(num_simulations=10000, model="nsf", **est_kw):
+def run_npe_gl_tuned(num_simulations=10000, model="nsf", eval_n=2000,
+                     **est_kw):
     """npe/gaussian_linear 0.557 -> target <=0.55 (VERDICT item 6)."""
     from sbi_tpu.inference import NPE
     from sbi_tpu.neural_nets.factory import posterior_nn
@@ -408,7 +411,7 @@ def run_npe_gl_tuned(num_simulations=10000, model="nsf", **est_kw):
         x_o = bench.get_observation(i)
         posterior = inference.build_posterior().set_default_x(x_o)
         ref = bench.get_reference_posterior_samples(i)
-        n = min(2000, ref.shape[0])
+        n = min(eval_n, ref.shape[0])
         samples = posterior.sample((n,), key=jr.PRNGKey(10 + i))
         s = float(c2st(samples, ref[:n]))
         scores.append(s)

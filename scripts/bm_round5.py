@@ -100,6 +100,46 @@ def run_npse_tm_ens_fresh(seed, per_member=30000, n_members=4,
     return scores
 
 
+def run_npe_gl_nsf_ens(num_simulations=30000, n_members=8, batch_size=200,
+                       patience=100, eval_n=4000):
+    """gaussian_linear npe-nsf via the vmapped ensemble (defined in round 4,
+    never executed): the @30k failure is obs-specific single-fit variance
+    (obs0 0.50 vs obs1 0.60 at identical configs), which mixture averaging
+    over 8 members trained as ONE XLA program cancels. eval_n=4000 halves
+    the ~+/-0.02 C2ST metric noise of the 2000-sample evals."""
+    from sbi_tpu.inference import NPE
+    from sbi_tpu.neural_nets.factory import posterior_nn
+    from sbi_tpu.utils.metrics import c2st
+
+    b3 = bm3()
+    bench = b3.get_bench_task("gaussian_linear")
+    prior = bench.prior
+    b3.seed_all_backends(0)
+    theta = prior.sample(jr.PRNGKey(0), (num_simulations,))
+    x = bench.simulator(theta, key=jr.PRNGKey(1))
+    est = posterior_nn("nsf", hidden_features=100, num_transforms=5,
+                       interleave_affine=True)
+    inference = NPE(prior=prior, density_estimator=est)
+    inference.append_simulations(theta, x)
+    inference.train_ensemble(
+        num_members=n_members, training_batch_size=batch_size,
+        epoch_chunk=25, stop_after_epochs=patience,
+    )
+    scores = []
+    for i in (0, 1, 2):
+        x_o = bench.get_observation(i)
+        ens = inference.build_ensemble_posterior(
+            potential_combination="mixture")
+        ens.set_default_x(x_o)
+        ref = bench.get_reference_posterior_samples(i)
+        n = min(eval_n, ref.shape[0])
+        samples = ens.sample((n,), key=jr.PRNGKey(10 + i))
+        s = float(c2st(samples, ref[:n]))
+        scores.append(s)
+        print(f"  obs {i}: c2st={s:.4f}", flush=True)
+    return scores
+
+
 EXPERIMENTS = {
     # --- SLCP campaign -----------------------------------------------------
     # Structured head: the per-trial likelihood IS N(m(theta), S(theta)), so
@@ -129,6 +169,20 @@ EXPERIMENTS = {
                           lr_decay_epochs=400, lr_final_factor=1e-3)),
         "nle-gauss-poe16-8m", "slcp", 8_000_000,
     ),
+    # 8M re-scored at a 4000-sample C2ST (resumes /tmp/poe_8m_ckpt: data +
+    # members come from checkpoint, only the MCMC eval reruns) — the 2000-
+    # sample metric carries ~+/-0.02 noise, material this close to the 0.49
+    # sampler floor.
+    "poe16_gauss_8m_eval4k": (
+        lambda: bm3().run_poe_vmapped_slcp(
+            500_000, n_members=16, rounds=1, model="mdn", num_components=2,
+            scale_parameterization="log", num_layers=5, hidden_features=256,
+            batch_size=4096, patience=400,
+            ckpt_dir="/tmp/poe_8m_ckpt", eval_n=4000,
+            train_kw=dict(max_num_epochs=400, lr_schedule="cosine",
+                          lr_decay_epochs=400, lr_final_factor=1e-3)),
+        "nle-gauss-poe16-8m-eval4k", "slcp", 8_000_000,
+    ),
     # --- NPSE seed-spread closure (VERDICT item 4) --------------------------
     "npse_tm_fresh_s1": (
         lambda: run_npse_tm_ens_fresh(1), "npse-ens4-fresh-s1", "two_moons", 120000,
@@ -154,6 +208,24 @@ EXPERIMENTS = {
             30_000, model="nsf", hidden_features=100, num_transforms=6,
             interleave_affine=True, num_bins=4, tail_bound=10.0),
         "npe-nsf-b4t10", "gaussian_linear", 30_000,
+    ),
+    # Negative result from the two cells above: fewer bins + wider tails
+    # LOSE badly (0.597/0.601 vs the 0.5617 default-bin baseline) — spreading
+    # 4-5 bins over [-8,10] starves spline resolution where the z-scored
+    # data actually lives. Remaining attacks:
+    # (a) the vmapped 8-member NSF ensemble (round-4 define, never ran):
+    #     obs-level single-fit variance is what mixture averaging cancels;
+    # (b) the unchanged baseline re-scored at eval_n=4000 — the 2000-sample
+    #     C2ST carries ~+/-0.02 noise, half the distance to the target.
+    "npe_gl_nsf_ens8_4k": (
+        lambda: run_npe_gl_nsf_ens(30_000, n_members=8),
+        "npe-nsf-ens8", "gaussian_linear", 30_000,
+    ),
+    "npe_gl_nsf_affine_4k": (
+        lambda: bm3().run_npe_gl_tuned(
+            30_000, model="nsf", hidden_features=100, num_transforms=5,
+            interleave_affine=True, eval_n=4000),
+        "npe-nsf-affine-4k", "gaussian_linear", 30_000,
     ),
 }
 

@@ -111,3 +111,26 @@ def test_cfg_condition_dropout_trains():
     )
     out = guided(theta[:8], 0.5)
     assert out.shape == (8, 2) and bool(jnp.isfinite(out).all())
+
+
+def test_theta_only_custom_potential_samples_without_x():
+    """A custom potential that closes over theta only is a complete log
+    density: MCMCPosterior samples it without set_default_x / x= (the
+    docs/tutorials/04 banana example)."""
+    from sbi_tpu.inference import MCMCPosterior
+    from sbi_tpu.utils.distributions import MultivariateNormal
+
+    def gauss_potential(theta):
+        return -0.5 * (theta**2).sum(-1)
+
+    posterior = MCMCPosterior(
+        gauss_potential,
+        proposal=MultivariateNormal(jnp.zeros(2),
+                                    covariance_matrix=4.0 * jnp.eye(2)),
+        num_chains=20,
+        warmup_steps=50,
+    )
+    s = posterior.sample((500,), key=jax.random.PRNGKey(0))
+    assert s.shape == (500, 2)
+    assert jnp.all(jnp.abs(s.mean(0)) < 0.3)
+    assert jnp.all(jnp.abs(s.std(0) - 1.0) < 0.3)
