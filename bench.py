@@ -272,7 +272,7 @@ EMB_THETA_DIM = 10
 EMB_STEPS = 20
 
 
-def measure_embedding_train(batch: int = 1024) -> dict:
+def measure_embedding_train(batch: int = 1024, compute_dtype=None) -> dict:
     """BASELINE config 4's actual shape: amortized FMPE training with a
     Transformer embedding on high-dim x (L=512, C=4 time series -> 2048-dim
     observation) at large batch — the one SBI workload whose matmuls are big
@@ -280,7 +280,8 @@ def measure_embedding_train(batch: int = 1024) -> dict:
     `sbi/neural_nets/embedding_nets/transformer.py:72`, `cnn.py:69`; FMPE
     trainer `sbi/inference/trainers/vfpe/fmpe.py`). Reports steps/sec and an
     honest MFU (this program has no Pallas custom calls, so XLA's flop count
-    is complete)."""
+    is complete). ``compute_dtype=jnp.bfloat16`` measures the mixed-
+    precision path (bf16 block matmuls, f32 params/norms/softmax/head)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -297,7 +298,7 @@ def measure_embedding_train(batch: int = 1024) -> dict:
     )
     emb = TransformerEmbedding(
         input_shape=(EMB_LEN, EMB_CHANNELS), dim=256, num_heads=8,
-        num_layers=4, output_dim=128, patch_size=4,
+        num_layers=4, output_dim=128, patch_size=4, dtype=compute_dtype,
     )
     est = posterior_flow_nn(
         model="mlp", hidden_features=512, embedding_net=emb
@@ -339,7 +340,8 @@ def measure_embedding_train(batch: int = 1024) -> dict:
     out = {
         "batch": batch,
         "x_dim": EMB_LEN * EMB_CHANNELS,
-        "embedding": "transformer(d=256,h=8,l=4,patch=4)",
+        "embedding": "transformer(d=256,h=8,l=4,patch=4)"
+        + ("+bf16" if compute_dtype is not None else ""),
         "steps_per_sec": round(steps_per_sec, 2),
         "sims_per_sec": round(steps_per_sec * batch, 1),
     }
@@ -356,6 +358,12 @@ def measure_embedding_train(batch: int = 1024) -> dict:
     except Exception:
         pass
     return out
+
+
+def _measure_embedding_bf16() -> dict:
+    import jax.numpy as jnp
+
+    return measure_embedding_train(compute_dtype=jnp.bfloat16)
 
 
 def measure_diffuser_sampling(steps: int = 500, num_samples: int = 1024) -> dict:
@@ -685,8 +693,11 @@ def main():
             # custom-call flops counted via the jnp-path lowering).
             "nsf_train_mfu": measure_nsf_train_mfu(train_v),
             # BASELINE config 4: transformer embedding on high-dim x at
-            # large batch — the MXU-exercising SBI workload.
+            # large batch — the MXU-exercising SBI workload, f32 and the
+            # bf16 mixed-precision path (MFU convention: bf16 flops are
+            # the same algorithmic count against the same bf16 peak).
             "embedding_train": measure_embedding_train(),
+            "embedding_train_bf16": _measure_embedding_bf16(),
             # 500-step reverse-diffusion sampling (NPSE hot path).
             "diffuser_sampling": measure_diffuser_sampling(),
             # Amortized batched-observation posterior sampling.

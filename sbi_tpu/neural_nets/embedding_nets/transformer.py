@@ -19,7 +19,10 @@ def _rope(x: jnp.ndarray, base: float = 10000.0) -> jnp.ndarray:
     half = Dh // 2
     freqs = base ** (-jnp.arange(half) / half)
     t = jnp.arange(T)[:, None] * freqs[None, :]  # (T, half)
-    cos, sin = jnp.cos(t), jnp.sin(t)
+    # Angles in f32, factors in x.dtype: a bf16 x must stay bf16 (f32
+    # promotion here would silently upcast the attention matmuls).
+    cos = jnp.cos(t).astype(x.dtype)
+    sin = jnp.sin(t).astype(x.dtype)
     x1, x2 = x[..., :half], x[..., half: 2 * half]
     rot1 = x1 * cos - x2 * sin
     rot2 = x1 * sin + x2 * cos
@@ -32,32 +35,39 @@ class RMSNorm(nn.Module):
     @nn.compact
     def __call__(self, x):
         scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
-        norm = jax.lax.rsqrt(jnp.mean(x**2, axis=-1, keepdims=True) + self.eps)
-        return x * norm * scale
+        # Statistics in f32 regardless of compute dtype (bf16 mean-of-
+        # squares loses too much precision), output in x.dtype.
+        x32 = x.astype(jnp.float32)
+        norm = jax.lax.rsqrt(
+            jnp.mean(x32**2, axis=-1, keepdims=True) + self.eps
+        )
+        return (x32 * norm * scale).astype(x.dtype)
 
 
 class _Attention(nn.Module):
     dim: int
     num_heads: int
     use_rope: bool = True
+    dtype: Optional[jnp.dtype] = None  # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x):
         B, T, D = x.shape
         H = self.num_heads
         Dh = self.dim // H
-        qkv = nn.Dense(3 * self.dim, use_bias=False)(x)
+        qkv = nn.Dense(3 * self.dim, use_bias=False, dtype=self.dtype)(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)
         k = k.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)
         v = v.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)
         if self.use_rope:
             q, k = _rope(q), _rope(k)
-        att = jnp.einsum("bhtd,bhsd->bhts", q, k) / jnp.sqrt(Dh)
-        att = jax.nn.softmax(att, axis=-1)
+        att = jnp.einsum("bhtd,bhsd->bhts", q, k) / jnp.sqrt(Dh).astype(q.dtype)
+        # Softmax in f32 (bf16 exp/normalize is the classic instability).
+        att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(v.dtype)
         out = jnp.einsum("bhts,bhsd->bhtd", att, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, T, self.dim)
-        return nn.Dense(self.dim, use_bias=False)(out)
+        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype)(out)
 
 
 class _MoEFFN(nn.Module):
@@ -73,11 +83,15 @@ class _MoEFFN(nn.Module):
     num_experts: int = 4
     top_k: int = 2
     mlp_ratio: int = 4
+    dtype: Optional[jnp.dtype] = None  # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x):  # (B, T, D)
         E, D, H = self.num_experts, self.dim, self.mlp_ratio * self.dim
-        gate_logits = nn.Dense(E, use_bias=False, name="router")(x)  # (B,T,E)
+        # Router stays f32: tiny compute, and routing decisions are the
+        # one place bf16 noise changes program behavior discretely.
+        gate_logits = nn.Dense(E, use_bias=False, name="router",
+                               dtype=jnp.float32)(x)  # (B,T,E)
         top_vals, top_idx = jax.lax.top_k(gate_logits, self.top_k)
         gates = jax.nn.softmax(top_vals, axis=-1)  # (B,T,k)
         # (B,T,E) sparse combine weights
@@ -89,9 +103,15 @@ class _MoEFFN(nn.Module):
         b1 = self.param("b1", nn.initializers.zeros, (E, H))
         w2 = self.param("w2", init, (E, H, D))
         b2 = self.param("b2", nn.initializers.zeros, (E, D))
-        h = nn.gelu(jnp.einsum("btd,edh->bteh", x, w1) + b1)
-        out = jnp.einsum("bteh,ehd->bted", h, w2) + b2
-        return jnp.einsum("bte,bted->btd", combine, out)
+        cdt = self.dtype or x.dtype
+        h = nn.gelu(
+            jnp.einsum("btd,edh->bteh", x.astype(cdt), w1.astype(cdt))
+            + b1.astype(cdt)
+        )
+        out = jnp.einsum("bteh,ehd->bted", h, w2.astype(cdt)) + b2.astype(cdt)
+        return jnp.einsum(
+            "bte,bted->btd", combine.astype(cdt), out
+        )
 
 
 class _Block(nn.Module):
@@ -101,17 +121,20 @@ class _Block(nn.Module):
     ffn_type: str = "mlp"  # "mlp" | "moe"
     num_experts: int = 4
     top_k: int = 2
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
-        x = x + _Attention(self.dim, self.num_heads)(RMSNorm()(x))
+        x = x + _Attention(self.dim, self.num_heads,
+                           dtype=self.dtype)(RMSNorm()(x))
         h = RMSNorm()(x)
         if self.ffn_type == "moe":
-            h = _MoEFFN(self.dim, self.num_experts, self.top_k, self.mlp_ratio)(h)
+            h = _MoEFFN(self.dim, self.num_experts, self.top_k,
+                        self.mlp_ratio, dtype=self.dtype)(h)
         else:
-            h = nn.Dense(self.mlp_ratio * self.dim)(h)
+            h = nn.Dense(self.mlp_ratio * self.dim, dtype=self.dtype)(h)
             h = nn.gelu(h)
-            h = nn.Dense(self.dim)(h)
+            h = nn.Dense(self.dim, dtype=self.dtype)(h)
         return x + h
 
 
@@ -122,7 +145,13 @@ class TransformerEmbedding(nn.Module):
     (B, H, W, C) and tokenizes non-overlapping patch_size x patch_size
     patches (ref ViT patching `transformer.py:630`); ``ffn_type="moe"``
     swaps the MLP for a top-k mixture-of-experts block
-    (ref `transformer.py:521`)."""
+    (ref `transformer.py:521`).
+
+    ``dtype=jnp.bfloat16`` runs the block matmuls (attention + FFN) in
+    bf16 on the MXU with f32 parameters, norms, softmax, MoE routing, and
+    output head — the standard TPU mixed-precision recipe. Embedding nets
+    are the one SBI component large enough for this to matter (see
+    docs/performance.md)."""
 
     input_shape: Tuple[int, ...]
     dim: int = 64
@@ -134,6 +163,7 @@ class TransformerEmbedding(nn.Module):
     ffn_type: str = "mlp"  # "mlp" | "moe"
     num_experts: int = 4
     top_k: int = 2
+    dtype: Optional[jnp.dtype] = None  # e.g. jnp.bfloat16 (params stay f32)
 
     @nn.compact
     def __call__(self, x):
@@ -157,7 +187,7 @@ class TransformerEmbedding(nn.Module):
             T, C = x.shape[1], x.shape[2]
             T2 = (T // p) * p
             x = x[:, :T2].reshape(B, T2 // p, p * C)
-        h = nn.Dense(self.dim)(x)
+        h = nn.Dense(self.dim, dtype=self.dtype)(x)
         for _ in range(self.num_layers):
             h = _Block(
                 self.dim,
@@ -165,6 +195,9 @@ class TransformerEmbedding(nn.Module):
                 ffn_type=self.ffn_type,
                 num_experts=self.num_experts,
                 top_k=self.top_k,
+                dtype=self.dtype,
             )(h)
-        h = RMSNorm()(h).mean(axis=1)
+        # Pool + output head in f32: this is the statistical interface the
+        # density estimator conditions on.
+        h = RMSNorm()(h.astype(jnp.float32)).mean(axis=1)
         return nn.Dense(self.output_dim)(h)

@@ -222,11 +222,16 @@ def run_poe_vmapped_slcp(per_member, n_members=16, rounds=1,
         theta_parts.append(np.asarray(th))
         x_parts.append(np.asarray(xx))
         print(f"  sim chunk {ck}: {lo + n}/{total}", flush=True)
-    theta = jnp.asarray(np.concatenate(theta_parts))
-    x = jnp.asarray(np.concatenate(x_parts))
+    # Trial expansion on HOST: jnp.repeat materializes an (N, 4, 5)
+    # device intermediate whose tiled layout pads the size-4 axis to 128
+    # lanes — 20.5GB at 8M sims (OOM on v5e); numpy costs the true 640MB.
+    theta_np = np.concatenate(theta_parts)
+    x_np = np.concatenate(x_parts)
     del theta_parts, x_parts
     print("  data ready", flush=True)
-    inf.append_simulations(jnp.repeat(theta, 4, axis=0), x.reshape(-1, 2))
+    inf.append_simulations(np.repeat(theta_np, 4, axis=0),
+                           x_np.reshape(-1, 2))
+    del theta_np, x_np
     member_rows = [
         np.arange(m * 4 * per_round, (m + 1) * 4 * per_round) for m in range(K)
     ]
@@ -274,8 +279,9 @@ def run_poe_vmapped_slcp(per_member, n_members=16, rounds=1,
                   flush=True)
         x_r = bench.simulator(theta_r, key=jr.PRNGKey(800 + r))
         base = sum(t.shape[0] for t in inf._theta_roundwise)  # rows are pairs
-        inf.append_simulations(jnp.repeat(theta_r, 4, axis=0),
-                               x_r.reshape(-1, 2), proposal=object())
+        inf.append_simulations(np.repeat(np.asarray(theta_r), 4, axis=0),
+                               np.asarray(x_r).reshape(-1, 2),
+                               proposal=object())
         n_r = theta_r.shape[0] // K
         member_rows = [
             np.concatenate([

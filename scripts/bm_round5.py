@@ -54,7 +54,8 @@ def bm3():
 
 
 def run_npse_tm_ens_fresh(seed, per_member=30000, n_members=4,
-                          batch_size=200, patience=50, eval_n=4000):
+                          batch_size=200, patience=50, eval_n=4000,
+                          sample_kw=None):
     """NPSE two_moons ensemble with PER-MEMBER FRESH simulation draws:
     each member trains on its own disjoint fresh block (so a data-draw
     outlier poisons at most one member, not all four), and the C2ST eval
@@ -92,8 +93,10 @@ def run_npse_tm_ens_fresh(seed, per_member=30000, n_members=4,
         ens.set_default_x(x_o)
         ref = bench.get_reference_posterior_samples(i)
         n = min(eval_n, ref.shape[0])
+        kw = dict(steps=1000, corrector="langevin")
+        kw.update(sample_kw or {})
         samples = ens.sample((n,), key=jr.PRNGKey(1000 * seed + 10 + i),
-                             steps=1000, corrector="langevin")
+                             **kw)
         s = float(c2st(samples, ref[:n]))
         scores.append(s)
         print(f"  obs {i}: c2st={s:.4f}", flush=True)
@@ -193,6 +196,31 @@ EXPERIMENTS = {
     "npse_tm_fresh_s3": (
         lambda: run_npse_tm_ens_fresh(3), "npse-ens4-fresh-s3", "two_moons", 120000,
     ),
+    # Fresh-draw finding (npse-ens4-fresh-s{1,2,3}: 0.5429/0.5500/0.5833 at
+    # the verdict-mandated 4000-sample eval): obs2 reads 0.61-0.64 on EVERY
+    # seed — at 4k metric power the "seed-2-obs-2 data-draw outlier" story
+    # collapses into a chronic small sampler/model bias at that observation
+    # (the 2k eval lacked the power to see it). So the lever is sampler
+    # QUALITY, not data variance: double the predictor steps and run 2
+    # Langevin corrector sweeps per step.
+    "npse_tm_fresh2_s1": (
+        lambda: run_npse_tm_ens_fresh(
+            1, sample_kw=dict(steps=2000,
+                              corrector_params=dict(num_steps=2))),
+        "npse-ens4-pc2-s1", "two_moons", 120000,
+    ),
+    "npse_tm_fresh2_s2": (
+        lambda: run_npse_tm_ens_fresh(
+            2, sample_kw=dict(steps=2000,
+                              corrector_params=dict(num_steps=2))),
+        "npse-ens4-pc2-s2", "two_moons", 120000,
+    ),
+    "npse_tm_fresh2_s3": (
+        lambda: run_npse_tm_ens_fresh(
+            3, sample_kw=dict(steps=2000,
+                              corrector_params=dict(num_steps=2))),
+        "npse-ens4-pc2-s3", "two_moons", 120000,
+    ),
     # --- gaussian_linear npe-nsf @30k (VERDICT item 5) -----------------------
     # The task's posterior is exactly Gaussian: give the spline less to do
     # (fewer bins), more reach (wider tails), and an affine pre-layer that
@@ -215,8 +243,15 @@ EXPERIMENTS = {
     # data actually lives. Remaining attacks:
     # (a) the vmapped 8-member NSF ensemble (round-4 define, never ran):
     #     obs-level single-fit variance is what mixture averaging cancels;
-    # (b) the unchanged baseline re-scored at eval_n=4000 — the 2000-sample
-    #     C2ST carries ~+/-0.02 noise, half the distance to the target.
+    # (b) the unchanged baseline re-scored as a control.
+    # NOTE eval_n is clamped to the golden-fixture size: gaussian_linear's
+    # committed reference posterior has 1000 samples/obs, so every
+    # gaussian_linear C2ST (all rounds) is an n=1000 eval regardless of
+    # eval_n — confirmed by (b) reproducing round-4's scores to 4 decimals.
+    # two_moons and slcp goldens have 10k, so their eval_n=4000 is real.
+    # RESULTS: ens8 0.5137 (0.5185/0.5185/0.5040) closes the cell;
+    # single-model control 0.5617 (obs1 0.6025) — the obs1 failure is a
+    # stable single-fit artifact that mixture averaging removes.
     "npe_gl_nsf_ens8_4k": (
         lambda: run_npe_gl_nsf_ens(30_000, n_members=8),
         "npe-nsf-ens8", "gaussian_linear", 30_000,
@@ -225,7 +260,7 @@ EXPERIMENTS = {
         lambda: bm3().run_npe_gl_tuned(
             30_000, model="nsf", hidden_features=100, num_transforms=5,
             interleave_affine=True, eval_n=4000),
-        "npe-nsf-affine-4k", "gaussian_linear", 30_000,
+        "npe-nsf-affine-r5", "gaussian_linear", 30_000,
     ),
 }
 

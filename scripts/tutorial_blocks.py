@@ -24,6 +24,7 @@ DEEP_TUTORIALS = (
     "02_embedding_networks.md",
     "03_diagnostics_battery.md",
     "04_mcmc_and_potentials.md",
+    "05_hodgkin_huxley.md",
 )
 
 

@@ -72,3 +72,33 @@ def test_permutation_invariance():
     e1 = net.apply(params, x)
     e2 = net.apply(params, x[:, ::-1, :])  # permute trials
     assert jnp.allclose(e1, e2, atol=1e-5)
+
+
+def test_transformer_bf16_compute_dtype():
+    """dtype=bfloat16 runs the block matmuls in bf16 with f32 params and
+    f32 output, matching the f32 forward closely on the same params."""
+    from sbi_tpu.neural_nets.embedding_nets.transformer import (
+        TransformerEmbedding,
+    )
+
+    k = jax.random.PRNGKey(0)
+    x = jax.random.normal(k, (4, 64 * 2))
+    for ffn in ("mlp", "moe"):
+        kw = dict(input_shape=(64, 2), dim=32, num_heads=4, num_layers=2,
+                  output_dim=8, patch_size=4, ffn_type=ffn)
+        m32 = TransformerEmbedding(**kw)
+        mbf = TransformerEmbedding(dtype=jnp.bfloat16, **kw)
+        p = m32.init(k, x)
+        assert all(
+            leaf.dtype == jnp.float32
+            for leaf in jax.tree_util.tree_leaves(p)
+        )
+        o32, obf = m32.apply(p, x), mbf.apply(p, x)
+        assert o32.dtype == jnp.float32 and obf.dtype == jnp.float32
+        rel = float(jnp.abs(o32 - obf).max() / (jnp.abs(o32).max() + 1e-8))
+        assert rel < 0.1, (ffn, rel)
+        g = jax.grad(lambda pp: mbf.apply(pp, x).sum())(p)
+        assert all(
+            leaf.dtype == jnp.float32
+            for leaf in jax.tree_util.tree_leaves(g)
+        )

@@ -149,3 +149,66 @@ def test_c2st_npe_mdn_10d_linear_gaussian():
     posterior = inference.build_posterior().set_default_x(x_o)
     samples = posterior.sample((1000,), key=jax.random.PRNGKey(2))
     check_c2st(samples, ref, alg="npe-mdn-10d", tol=0.12)
+
+
+@pytest.mark.slow
+def test_npe_uniform_prior_leakage_and_normalization():
+    """Ports the reference's uniform-prior branch of
+    `tests/linearGaussian_snpe_test.py:128-170`: (a) posterior probability
+    outside the prior support is exactly zero; (b) the normalized log_prob
+    equals the unnormalized one scaled up by the leakage acceptance factor."""
+    seed_all_backends(5)
+    D = 2
+    shift = -1.0 * jnp.ones(D)
+    cov = 0.3 * jnp.eye(D)
+    prior = BoxUniform(-2.0 * jnp.ones(D), 2.0 * jnp.ones(D))
+    theta = prior.sample(jax.random.PRNGKey(0), (2000,))
+    x = linear_gaussian(theta, shift, cov, key=jax.random.PRNGKey(1))
+    inference = NPE(prior=prior)
+    inference.append_simulations(theta, x).train(training_batch_size=100)
+    x_o = jnp.zeros(D)
+    posterior = inference.build_posterior().set_default_x(x_o)
+
+    # (a) zero mass outside the support
+    theta_outside = prior.sample(jax.random.PRNGKey(2), (100,)) + 4.0
+    lp_outside = posterior.log_prob(theta_outside)
+    assert bool(jnp.all(jnp.isneginf(lp_outside) | (lp_outside < -1e30)))
+
+    # (b) normalization: log p_norm = log p_unnorm - log acceptance
+    theta_inside = posterior.sample((50,), key=jax.random.PRNGKey(3))
+    lp_norm = posterior.log_prob(theta_inside, norm_posterior=True)
+    lp_unnorm = posterior.log_prob(theta_inside, norm_posterior=False)
+    acceptance = posterior.leakage_correction(jnp.atleast_2d(x_o))
+    assert 0.0 < float(acceptance) <= 1.0
+    diff = lp_norm - (lp_unnorm - jnp.log(acceptance))
+    assert bool(jnp.all(jnp.abs(diff) < 1e-3)), diff
+
+
+@pytest.mark.slow
+def test_npe_gaussian_prior_dkl_and_map():
+    """Ports the reference's Gaussian-prior checks
+    (`tests/linearGaussian_snpe_test.py:104-126`): the Monte-Carlo KL
+    divergence from truth to the trained posterior is small, and the MAP
+    lands near the analytic posterior mean."""
+    seed_all_backends(6)
+    D = 2
+    shift = -1.0 * jnp.ones(D)
+    cov = 0.3 * jnp.eye(D)
+    prior = MultivariateNormal(jnp.zeros(D), covariance_matrix=jnp.eye(D))
+    theta = prior.sample(jax.random.PRNGKey(0), (2500,))
+    x = linear_gaussian(theta, shift, cov, key=jax.random.PRNGKey(1))
+    inference = NPE(prior=prior)
+    inference.append_simulations(theta, x).train(training_batch_size=100)
+    x_o = jnp.zeros((1, D))
+    posterior = inference.build_posterior().set_default_x(x_o)
+
+    gt = true_posterior_linear_gaussian_mvn_prior(
+        x_o, shift, cov, jnp.zeros(D), jnp.eye(D))
+    # DKL(gt || q) by Monte Carlo over gt samples (the reference's
+    # get_dkl_gaussian_prior, max_dkl=0.15)
+    t_gt = gt.sample(jax.random.PRNGKey(2), (1500,))
+    dkl = float(jnp.mean(gt.log_prob(t_gt) - posterior.log_prob(t_gt)))
+    assert dkl < 0.15, f"DKL={dkl}"
+
+    map_ = posterior.map(num_iter=300)
+    assert float(((map_ - gt.mean) ** 2).sum()) < 0.5

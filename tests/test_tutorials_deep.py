@@ -87,7 +87,8 @@ def test_02_embeddings_deep(tmp_path):
             ("MAX_EPOCHS = 80", "MAX_EPOCHS = 8"),
             ("posterior.sample((5000,)", "posterior.sample((400,)"),
             ("assert jnp.all(err < 0.15)", "assert jnp.all(err < 0.6)"),
-            ("range(20)", "range(4)"),
+            ("(jax.random.PRNGKey(5), (100,))",
+             "(jax.random.PRNGKey(5), (20,))"),
         ],
     )
     assert ns["samples"].shape == (400, 2)
@@ -134,3 +135,22 @@ def test_04_mcmc_potentials_deep(tmp_path):
         ],
     )
     assert ns["banana_samples"].shape == (300, 2)
+
+
+@pytest.mark.slow
+def test_05_hodgkin_huxley_deep(tmp_path):
+    ns = _run(
+        "05_hodgkin_huxley.md",
+        tmp_path,
+        [
+            ("NUM_SIMULATIONS = 3000", "NUM_SIMULATIONS = 400"),
+            ("NUM_POSTERIOR_SAMPLES = 2000", "NUM_POSTERIOR_SAMPLES = 300"),
+            ("inference.train(training_batch_size=200)",
+             "inference.train(training_batch_size=100, max_num_epochs=30)"),
+            ("float(err[0]) < 20.0 and float(err[1]) < 6.0",
+             "float(err[0]) < 40.0 and float(err[1]) < 12.0"),
+            ("jnp.median(jnp.abs(sc_pp - sc_o)) <= 2",
+             "jnp.median(jnp.abs(sc_pp - sc_o)) <= 4"),
+        ],
+    )
+    assert ns["samples"].shape == (300, 2)
