@@ -55,7 +55,7 @@ def bm3():
 
 def run_npse_tm_ens_fresh(seed, per_member=30000, n_members=4,
                           batch_size=200, patience=50, eval_n=4000,
-                          sample_kw=None):
+                          sample_kw=None, est_kw=None):
     """NPSE two_moons ensemble with PER-MEMBER FRESH simulation draws:
     each member trains on its own disjoint fresh block (so a data-draw
     outlier poisons at most one member, not all four), and the C2ST eval
@@ -72,8 +72,10 @@ def run_npse_tm_ens_fresh(seed, per_member=30000, n_members=4,
     total = per_member * n_members
     theta = prior.sample(jr.PRNGKey(1000 * seed), (total,))
     x = bench.simulator(theta, key=jr.PRNGKey(1000 * seed + 1))
-    est = posterior_score_nn(model="ada_mlp", sde_type="vp",
-                             hidden_features=256, num_layers=6)
+    ekw = dict(model="ada_mlp", sde_type="vp",
+               hidden_features=256, num_layers=6)
+    ekw.update(est_kw or {})
+    est = posterior_score_nn(**ekw)
     inference = NPSE(prior=prior, density_estimator=est)
     inference.append_simulations(theta, x)
     member_rows = [
@@ -220,6 +222,34 @@ EXPERIMENTS = {
             3, sample_kw=dict(steps=2000,
                               corrector_params=dict(num_steps=2))),
         "npse-ens4-pc2-s3", "two_moons", 120000,
+    ),
+    # pc2 results: spread 0.020 < 0.03 MET (0.5457/0.5559/0.5660) but obs2
+    # stays 0.58-0.62 on every seed/sampler -> the bias lives in the score
+    # MODEL. Capacity probe on the worst seed (s2, 0.5660): 1.5x width,
+    # +2 layers, 2x patience. If obs2 drops, run the other seeds.
+    "npse_tm_big_s2": (
+        lambda: run_npse_tm_ens_fresh(
+            2, patience=100,
+            est_kw=dict(hidden_features=384, num_layers=8),
+            sample_kw=dict(steps=2000,
+                           corrector_params=dict(num_steps=2))),
+        "npse-ens4-big-s2", "two_moons", 120000,
+    ),
+    "npse_tm_big_s1": (
+        lambda: run_npse_tm_ens_fresh(
+            1, patience=100,
+            est_kw=dict(hidden_features=384, num_layers=8),
+            sample_kw=dict(steps=2000,
+                           corrector_params=dict(num_steps=2))),
+        "npse-ens4-big-s1", "two_moons", 120000,
+    ),
+    "npse_tm_big_s3": (
+        lambda: run_npse_tm_ens_fresh(
+            3, patience=100,
+            est_kw=dict(hidden_features=384, num_layers=8),
+            sample_kw=dict(steps=2000,
+                           corrector_params=dict(num_steps=2))),
+        "npse-ens4-big-s3", "two_moons", 120000,
     ),
     # --- gaussian_linear npe-nsf @30k (VERDICT item 5) -----------------------
     # The task's posterior is exactly Gaussian: give the spline less to do
