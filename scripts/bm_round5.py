@@ -292,6 +292,19 @@ EXPERIMENTS = {
             interleave_affine=True, eval_n=4000),
         "npe-nsf-affine-r5", "gaussian_linear", 30_000,
     ),
+    # Reruns after the golden-fixture upgrade (analytic fixtures now carry
+    # 10k samples, so eval_n=4000 is REAL for gaussian_linear; the earlier
+    # "-4k" runs silently clamped to the old 1000-sample golden):
+    "npe_gl_nsf_ens8_true4k": (
+        lambda: run_npe_gl_nsf_ens(30_000, n_members=8),
+        "npe-nsf-ens8-n4k", "gaussian_linear", 30_000,
+    ),
+    "npe_gl_nsf_affine_true4k": (
+        lambda: bm3().run_npe_gl_tuned(
+            30_000, model="nsf", hidden_features=100, num_transforms=5,
+            interleave_affine=True, eval_n=4000),
+        "npe-nsf-affine-n4k", "gaussian_linear", 30_000,
+    ),
 }
 
 

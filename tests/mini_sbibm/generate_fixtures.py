@@ -23,7 +23,13 @@ from sbi_tpu.utils.transforms import mcmc_transform, transformed_potential  # no
 
 FILES_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "files")
 NUM_OBS = 3
-NUM_SAMPLES = 1000
+# Analytic tasks sample exactly, so the golden size is free statistical
+# power: 10k matches the reference's committed two_moons/slcp fixtures and
+# lets benchmark C2STs run at n=4000+ (a 1k golden clamps every eval to
+# n=1000, hiding ~+/-0.02-level mismatches — discovered in round 5 when a
+# "4000-sample" gaussian_linear eval silently reproduced the 1k scores).
+NUM_SAMPLES = 10_000
+SLCP_NUM_SAMPLES = 1000  # MCMC-generated; superseded by slcp_ref.npz anyway
 
 
 def gen_analytic(name):
@@ -56,10 +62,10 @@ def gen_slcp():
         inits_raw = task.prior.sample(k1, (100,))
         inits = tt.forward(inits_raw)
         draws_u = run_slice_vectorized(
-            pot_u, inits, num_samples=NUM_SAMPLES // 100 * 4, thin=4,
+            pot_u, inits, num_samples=SLCP_NUM_SAMPLES // 100 * 4, thin=4,
             warmup_steps=300, key=k2,
         )
-        samples = tt.inverse(draws_u.reshape(-1, 5))[:NUM_SAMPLES]
+        samples = tt.inverse(draws_u.reshape(-1, 5))[:SLCP_NUM_SAMPLES]
         obs.append(np.asarray(x_o[0]))
         thetas.append(np.asarray(theta_o[0]))
         refs.append(np.asarray(samples))
@@ -75,12 +81,15 @@ def main():
             observations=o, true_thetas=t, reference_samples=r,
         )
         print(name, o.shape, r.shape)
-    o, t, r = gen_slcp()
-    np.savez_compressed(
-        os.path.join(FILES_DIR, "slcp.npz"),
-        observations=o, true_thetas=t, reference_samples=r,
-    )
-    print("slcp", o.shape, r.shape)
+    # slcp's self-generated fixture needs a long MCMC run and is superseded
+    # by the reference-imported slcp_ref.npz; regenerate only on request.
+    if "slcp" in sys.argv[1:]:
+        o, t, r = gen_slcp()
+        np.savez_compressed(
+            os.path.join(FILES_DIR, "slcp.npz"),
+            observations=o, true_thetas=t, reference_samples=r,
+        )
+        print("slcp", o.shape, r.shape)
 
 
 if __name__ == "__main__":
