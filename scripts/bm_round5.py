@@ -105,6 +105,168 @@ def run_npse_tm_ens_fresh(seed, per_member=30000, n_members=4,
     return scores
 
 
+def _restore_poe_flagship(ckpt_dir="/tmp/poe_8m_ckpt", per_member=500_000,
+                          n_members=16):
+    """Rebuild the 8M flagship (est, stacked params) from its checkpoint by
+    replaying the deterministic chunked data stage — the estimator's
+    z-scoring transforms are statistics of the training data, so the SAME
+    data must be appended before restore (see bm_round3._restore_stacked)."""
+    from sbi_tpu.inference import NLE_A
+    from sbi_tpu.neural_nets.factory import likelihood_nn
+
+    b3 = bm3()
+    bench = b3.get_bench_task("slcp")
+    prior = bench.prior
+    b3.seed_all_backends(0)
+    inf = NLE_A(prior=prior, density_estimator=likelihood_nn(
+        "mdn", num_components=2, scale_parameterization="log",
+        num_layers=5, hidden_features=256))
+    total = n_members * per_member
+    theta_parts, x_parts = [], []
+    for lo in range(0, total, 1_000_000):
+        n = min(1_000_000, total - lo)
+        ck = lo // 1_000_000
+        th = prior.sample(jr.fold_in(jr.PRNGKey(500), ck), (n,))
+        xx = bench.simulator(th, key=jr.fold_in(jr.PRNGKey(600), ck))
+        theta_parts.append(np.asarray(th))
+        x_parts.append(np.asarray(xx))
+        print(f"  flagship data chunk {ck}: {lo + n}/{total}", flush=True)
+    theta_np = np.concatenate(theta_parts)
+    x_np = np.concatenate(x_parts)
+    del theta_parts, x_parts
+    inf.append_simulations(np.repeat(theta_np, 4, axis=0),
+                           x_np.reshape(-1, 2))
+    del theta_np, x_np
+    restored = b3._restore_stacked(inf, n_members, f"{ckpt_dir}/round0",
+                                   label="flagship-8m")
+    if restored is None:
+        raise RuntimeError(f"no flagship checkpoint at {ckpt_dir}/round0")
+    return bench, prior, restored[0], restored[1]
+
+
+MIX_CKPT = "/tmp/poe_mix4m_ckpt"
+
+
+def run_poe_mix_proposals(mix_unique=24_000, obs_list=(0, 1, 2)):
+    """Stage 1 of the posterior-mix experiment: draw posterior-region thetas
+    from the 8M flagship PoE, pooled over the benchmark observations, and
+    save them for the training stage (separate queue entry => separate
+    process, so the 32M-row flagship data is freed before training).
+
+    Lever rationale (STATUS 'Known gaps'): the 8M residual is a small
+    observation-uniform head bias; NLE's conditional-density fit is
+    proposal-unbiased in theta, so concentrating a SMALL data fraction where
+    MCMC actually evaluates the likelihood sharpens the fit there without
+    the 50%-concentration collapse sequential refinement showed (0.6905)."""
+    import json
+
+    os.makedirs(MIX_CKPT, exist_ok=True)
+    out = f"{MIX_CKPT}/theta_mix.npy"
+    if os.path.exists(out):
+        print("  proposals already on disk", flush=True)
+        return [0.0]
+    b3 = bm3()
+    bench, prior, est, stacked = _restore_poe_flagship()
+    per_obs = mix_unique // len(obs_list)
+    parts = []
+    for i in obs_list:
+        obs_path = f"{MIX_CKPT}/theta_obs{i}.npy"
+        if os.path.exists(obs_path):
+            parts.append(np.load(obs_path))
+            continue
+        t0 = time.time()
+        x_o = bench.get_observation(i).reshape(4, 2)
+        draws = b3._poe_sample(est, stacked, prior, x_o, per_obs,
+                               key=jr.PRNGKey(9100 + i))
+        np.save(obs_path, np.asarray(draws))
+        parts.append(np.asarray(draws))
+        print(f"  obs {i}: {per_obs} posterior draws in "
+              f"{time.time()-t0:.0f}s", flush=True)
+    theta_mix = np.concatenate(parts)[:mix_unique]
+    rng = np.random.default_rng(0)
+    rng.shuffle(theta_mix)
+    np.save(out, theta_mix)
+    json.dump({"n": int(theta_mix.shape[0])},
+              open(f"{MIX_CKPT}/meta.json", "w"))
+    print(f"  saved {theta_mix.shape[0]} pooled proposals", flush=True)
+    return [0.0]
+
+
+def run_poe_mix_slcp(per_member=250_000, mix_per_member=24_000, n_members=16,
+                     batch_size=2048, patience=400, eval_n=2000):
+    """Stage 2: PoE16 at the 4M budget with ~10% posterior-region data.
+    Each member trains on its own disjoint prior block (226k) plus the SAME
+    24k posterior-region thetas simulated with a member-distinct key
+    (x-disjoint): repeated x|theta draws at posterior-region thetas densify
+    exactly the conditionals the PoE potential evaluates. A/B control at
+    equal total budget: poe16_gauss_4m = 0.5133 (all-prior)."""
+    from sbi_tpu.inference import NLE_A
+    from sbi_tpu.neural_nets.factory import likelihood_nn
+
+    b3 = bm3()
+    bench = b3.get_bench_task("slcp")
+    prior = bench.prior
+    K = n_members
+    prior_per_member = per_member - mix_per_member
+    theta_mix = np.load(f"{MIX_CKPT}/theta_mix.npy")[:mix_per_member]
+    mix_n = theta_mix.shape[0]
+
+    b3.seed_all_backends(0)
+    inf = NLE_A(prior=prior, density_estimator=likelihood_nn(
+        "mdn", num_components=2, scale_parameterization="log",
+        num_layers=5, hidden_features=256))
+
+    print("  simulating prior blocks...", flush=True)
+    total_prior = K * prior_per_member
+    theta_parts, x_parts = [], []
+    for lo in range(0, total_prior, 1_000_000):
+        n = min(1_000_000, total_prior - lo)
+        ck = lo // 1_000_000
+        th = prior.sample(jr.fold_in(jr.PRNGKey(1500), ck), (n,))
+        xx = bench.simulator(th, key=jr.fold_in(jr.PRNGKey(1600), ck))
+        theta_parts.append(np.asarray(th))
+        x_parts.append(np.asarray(xx))
+        print(f"  sim chunk {ck}: {lo + n}/{total_prior}", flush=True)
+    print("  simulating member mix blocks...", flush=True)
+    th_mix_j = jnp.asarray(theta_mix)
+    for m in range(K):
+        xm = bench.simulator(th_mix_j, key=jr.fold_in(jr.PRNGKey(1700), m))
+        theta_parts.append(theta_mix)
+        x_parts.append(np.asarray(xm))
+    theta_np = np.concatenate(theta_parts)
+    x_np = np.concatenate(x_parts)
+    del theta_parts, x_parts
+    inf.append_simulations(np.repeat(theta_np, 4, axis=0),
+                           x_np.reshape(-1, 2))
+    del theta_np, x_np
+    base = 4 * total_prior
+    member_rows = [
+        np.concatenate([
+            np.arange(m * 4 * prior_per_member,
+                      (m + 1) * 4 * prior_per_member),
+            base + np.arange(m * 4 * mix_n, (m + 1) * 4 * mix_n),
+        ])
+        for m in range(K)
+    ]
+
+    ckpt = f"{MIX_CKPT}/round0"
+    restored = b3._restore_stacked(inf, K, ckpt, label="mix round 0")
+    if restored is not None:
+        est, stacked = restored
+    else:
+        est, stacked = b3._train_stacked(
+            inf, K, ckpt, member_rows, batch_size, patience,
+            label="mix round 0", max_num_epochs=400, lr_schedule="cosine",
+            lr_decay_epochs=400, lr_final_factor=1e-3,
+        )
+    return b3._score_obs_cached(
+        (0, 1, 2),
+        f"{MIX_CKPT}/scores.json" if eval_n == 2000
+        else f"{MIX_CKPT}/scores_n{eval_n}.json",
+        lambda i: b3._eval_poe(est, stacked, prior, bench, i, n=eval_n)[0],
+    )
+
+
 def run_npe_gl_nsf_ens(num_simulations=30000, n_members=8, batch_size=200,
                        patience=100, eval_n=4000):
     """gaussian_linear npe-nsf via the vmapped ensemble (defined in round 4,
@@ -187,6 +349,33 @@ EXPERIMENTS = {
             train_kw=dict(max_num_epochs=400, lr_schedule="cosine",
                           lr_decay_epochs=400, lr_final_factor=1e-3)),
         "nle-gauss-poe16-8m-eval4k", "slcp", 8_000_000,
+    ),
+    # --- SLCP final levers (STATUS 'Known gaps': untried) -------------------
+    # Stage 1: posterior-region proposals from the 8M flagship (no score;
+    # writes /tmp/poe_mix4m_ckpt/theta_mix.npy). Run as its own queue entry
+    # so the 32M-row flagship data dies with the process before training.
+    "poe_mix_proposals": (
+        lambda: run_poe_mix_proposals(),
+        "poe-mix-proposals", "slcp", 0,
+    ),
+    # Stage 2: PoE16 @4M with ~10% posterior-region data (x-disjoint across
+    # members). A/B control at equal budget: poe16_gauss_4m = 0.5133.
+    "poe16_mix_4m": (
+        lambda: run_poe_mix_slcp(),
+        "nle-gauss-poe16-mix-4m", "slcp", 4_000_000,
+    ),
+    # Head-capacity probe: K=3 mixture components at the 4M budget — tests
+    # whether the observation-uniform residual is mixture-capacity bias
+    # (K=2 beat K=1/chol at 4M; is K=3 better still?).
+    "poe16_k3_4m": (
+        lambda: bm3().run_poe_vmapped_slcp(
+            250_000, n_members=16, rounds=1, model="mdn", num_components=3,
+            scale_parameterization="log", num_layers=5, hidden_features=256,
+            batch_size=2048, patience=400,
+            ckpt_dir="/tmp/poe_k3_ckpt",
+            train_kw=dict(max_num_epochs=400, lr_schedule="cosine",
+                          lr_decay_epochs=400, lr_final_factor=1e-3)),
+        "nle-k3-poe16-4m", "slcp", 4_000_000,
     ),
     # --- NPSE seed-spread closure (VERDICT item 4) --------------------------
     "npse_tm_fresh_s1": (
@@ -317,6 +506,8 @@ def main():
     scores = fn()
     mean = sum(scores) / len(scores)
     print(f"=== {name}: mean {mean:.4f} ({time.time()-t0:.0f}s)", flush=True)
+    if sims == 0:  # data-stage entries (no C2ST) don't get a CSV row
+        return
     write_header = not os.path.exists(out)
     with open(out, "a", newline="") as f:
         w = csv.writer(f)
