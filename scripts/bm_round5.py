@@ -106,11 +106,13 @@ def run_npse_tm_ens_fresh(seed, per_member=30000, n_members=4,
 
 
 def _restore_poe_flagship(ckpt_dir="/tmp/poe_8m_ckpt", per_member=500_000,
-                          n_members=16):
-    """Rebuild the 8M flagship (est, stacked params) from its checkpoint by
+                          n_members=16, num_components=2):
+    """Rebuild a PoE flagship (est, stacked params) from its checkpoint by
     replaying the deterministic chunked data stage — the estimator's
     z-scoring transforms are statistics of the training data, so the SAME
-    data must be appended before restore (see bm_round3._restore_stacked)."""
+    data must be appended before restore (see bm_round3._restore_stacked).
+    The data keys (500/600, fold_in per 1M chunk) match
+    bm_round3.run_poe_vmapped_slcp, so any of its checkpoints restores."""
     from sbi_tpu.inference import NLE_A
     from sbi_tpu.neural_nets.factory import likelihood_nn
 
@@ -119,7 +121,7 @@ def _restore_poe_flagship(ckpt_dir="/tmp/poe_8m_ckpt", per_member=500_000,
     prior = bench.prior
     b3.seed_all_backends(0)
     inf = NLE_A(prior=prior, density_estimator=likelihood_nn(
-        "mdn", num_components=2, scale_parameterization="log",
+        "mdn", num_components=num_components, scale_parameterization="log",
         num_layers=5, hidden_features=256))
     total = n_members * per_member
     theta_parts, x_parts = [], []
@@ -166,7 +168,16 @@ def run_poe_mix_proposals(mix_unique=24_000, obs_list=(0, 1, 2)):
         print("  proposals already on disk", flush=True)
         return [0.0]
     b3 = bm3()
-    bench, prior, est, stacked = _restore_poe_flagship()
+    # Proposal source: any completed 4M+ PoE checkpoint — posterior-region
+    # thetas don't need the best head, just a converged one. The 8M flagship
+    # checkpoint died with a VM restart; fall back to the K=3 4M checkpoint
+    # (sibling of the 0.5133 K=2 run, same data keys).
+    if os.path.isdir("/tmp/poe_8m_ckpt/round0"):
+        bench, prior, est, stacked = _restore_poe_flagship()
+    else:
+        bench, prior, est, stacked = _restore_poe_flagship(
+            ckpt_dir="/tmp/poe_k3_ckpt", per_member=250_000,
+            num_components=3)
     per_obs = mix_unique // len(obs_list)
     parts = []
     for i in obs_list:
