@@ -278,6 +278,92 @@ def run_poe_mix_slcp(per_member=250_000, mix_per_member=24_000, n_members=16,
     )
 
 
+def run_poe_hw_slcp(per_member=250_000, n_members=16, batch_size=2048,
+                    patience=400, eval_n=2000, alpha=0.5,
+                    ckpt_dir="/tmp/poe_hw_ckpt"):
+    """The LAST untried ledger lever (STATUS 'Known gaps'): heteroscedastic
+    loss weighting near small-variance theta regions. SLCP's per-trial
+    likelihood is N(m(theta), S(theta)) with det S = (t3^2 t4^2)^2 (1-rho^2):
+    where S is small, tiny errors in the fitted mean cost large
+    likelihood-ratio errors, but those rows carry no extra weight in plain
+    NLL. Weight w ∝ det(S)^{-alpha/2}, clipped at its 99th percentile
+    (t3,t4 -> 0 blows up), implemented PURELY at the data layer: each
+    member's training rows are a weighted with-replacement resample of its
+    own disjoint block. Duplicated indices reweight the empirical loss while
+    z-scoring stats and architecture stay bit-identical to the A/B control
+    (poe16_gauss_4m = 0.5133, same data keys, same budget). Caveat noted:
+    the member-internal train/val split sees duplicated rows on both sides,
+    so val loss is mildly optimistic — uniform over epochs, so best-val
+    snapshot selection is unaffected to first order."""
+    from sbi_tpu.inference import NLE_A
+    from sbi_tpu.neural_nets.factory import likelihood_nn
+
+    b3 = bm3()
+    bench = b3.get_bench_task("slcp")
+    prior = bench.prior
+    K = n_members
+    os.makedirs(ckpt_dir, exist_ok=True)
+
+    b3.seed_all_backends(0)
+    inf = NLE_A(prior=prior, density_estimator=likelihood_nn(
+        "mdn", num_components=2, scale_parameterization="log",
+        num_layers=5, hidden_features=256))
+    total = K * per_member
+    theta_parts, x_parts = [], []
+    for lo in range(0, total, 1_000_000):
+        n = min(1_000_000, total - lo)
+        ck = lo // 1_000_000
+        th = prior.sample(jr.fold_in(jr.PRNGKey(500), ck), (n,))
+        xx = bench.simulator(th, key=jr.fold_in(jr.PRNGKey(600), ck))
+        theta_parts.append(np.asarray(th))
+        x_parts.append(np.asarray(xx))
+        print(f"  sim chunk {ck}: {lo + n}/{total}", flush=True)
+    theta_np = np.concatenate(theta_parts)
+    x_np = np.concatenate(x_parts)
+    del theta_parts, x_parts
+    inf.append_simulations(np.repeat(theta_np, 4, axis=0),
+                           x_np.reshape(-1, 2))
+
+    # Per-theta weights -> per-row (4 iid-trial rows share the theta).
+    s1 = theta_np[:, 2] ** 2
+    s2 = theta_np[:, 3] ** 2
+    rho = np.tanh(theta_np[:, 4])
+    log_det = 2 * (np.log(s1) + np.log(s2)) + np.log1p(-rho**2)
+    w = np.exp(-0.5 * alpha * log_det)
+    w = np.minimum(w, np.quantile(w, 0.99))
+    del theta_np, x_np
+
+    rng = np.random.default_rng(12345)
+    member_rows = []
+    for m in range(K):
+        pair_idx = np.arange(m * per_member, (m + 1) * per_member)
+        wm = w[pair_idx]
+        draw = rng.choice(pair_idx, size=per_member, replace=True,
+                          p=wm / wm.sum())
+        rows = (4 * draw[:, None] + np.arange(4)[None, :]).reshape(-1)
+        member_rows.append(rows)
+    print(f"  weighted resample done (unique frac "
+          f"{np.unique(member_rows[0]).size / member_rows[0].size:.2f})",
+          flush=True)
+
+    restored = b3._restore_stacked(inf, K, f"{ckpt_dir}/round0",
+                                   label="hw round 0")
+    if restored is not None:
+        est, stacked = restored
+    else:
+        est, stacked = b3._train_stacked(
+            inf, K, f"{ckpt_dir}/round0", member_rows, batch_size, patience,
+            label="hw round 0", max_num_epochs=400, lr_schedule="cosine",
+            lr_decay_epochs=400, lr_final_factor=1e-3,
+        )
+    return b3._score_obs_cached(
+        (0, 1, 2),
+        f"{ckpt_dir}/scores.json" if eval_n == 2000
+        else f"{ckpt_dir}/scores_n{eval_n}.json",
+        lambda i: b3._eval_poe(est, stacked, prior, bench, i, n=eval_n)[0],
+    )
+
+
 def run_npe_gl_nsf_ens(num_simulations=30000, n_members=8, batch_size=200,
                        patience=100, eval_n=4000):
     """gaussian_linear npe-nsf via the vmapped ensemble (defined in round 4,
@@ -374,6 +460,12 @@ EXPERIMENTS = {
     "poe16_mix_4m": (
         lambda: run_poe_mix_slcp(),
         "nle-gauss-poe16-mix-4m", "slcp", 4_000_000,
+    ),
+    # Heteroscedastic row weighting at the 4M budget (the last untried
+    # ledger lever). A/B control at equal budget/data: poe16_gauss_4m 0.5133.
+    "poe16_hw_4m": (
+        lambda: run_poe_hw_slcp(),
+        "nle-gauss-poe16-hw-4m", "slcp", 4_000_000,
     ),
     # Head-capacity probe: K=3 mixture components at the 4M budget — tests
     # whether the observation-uniform residual is mixture-capacity bias
