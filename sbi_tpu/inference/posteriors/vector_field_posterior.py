@@ -63,10 +63,18 @@ class VectorFieldPosterior(NeuralPosterior):
         ts: Optional[Array] = None,
         sample_with: Optional[str] = None,
         show_progress_bars: bool = False,
+        guidance_method: Optional[str] = None,
+        guidance_params: Optional[dict] = None,
         **kwargs,
     ) -> Array:
         """Default: SDE with 500 steps (ref `:311`); prior-support rejection
-        wraps the raw diffusion draws like the reference."""
+        wraps the raw diffusion draws like the reference.
+
+        ``guidance_method``/``guidance_params`` (ref
+        `vector_field_posterior.py:162,202,243`): wrap the (iid-composed or
+        single-observation) score with a registered guidance —
+        ``interval`` / ``affine_classifier_free`` / ``prior_guide`` /
+        ``classifier_free`` / ``universal`` / ``prior`` — SDE sampling only."""
         key = next_key(key)
         x = self._x_else_default_x(x)
         self.potential_fn.set_x(x)
@@ -76,7 +84,29 @@ class VectorFieldPosterior(NeuralPosterior):
             num_samples *= int(s)
 
         est = self.vector_field_estimator
-        if method == "sde":
+        if guidance_method is not None:
+            if method != "sde" or not est.SDE_DEFINED:
+                raise NotImplementedError(
+                    "guidance_method is supported for SDE sampling on "
+                    "SDE-defined (score) estimators only."
+                )
+            from ..potentials.vector_field_adaptor import build_guided_score_fn
+
+            guided_fn = build_guided_score_fn(
+                est, self.prior, x, guidance_method, guidance_params,
+                iid_method=kwargs.pop("iid_method", "auto_gauss"),
+            )
+            diffuser = Diffuser(
+                est, predictor=predictor, corrector=corrector,
+                corrector_params=corrector_params,
+            )
+
+            def proposal(k, n):
+                return diffuser.run(
+                    n, x[:1], steps=steps, ts=ts, key=k, score_fn=guided_fn
+                )[:, 0, :]
+
+        elif method == "sde":
             diffuser = Diffuser(
                 est, predictor=predictor, corrector=corrector,
                 corrector_params=corrector_params,
@@ -311,11 +341,22 @@ class VectorFieldPosterior(NeuralPosterior):
         ode_steps: int = 64,
         **kwargs,
     ) -> Array:
-        """Exact CNF log-prob via the probability-flow ODE (ref `:434`)."""
+        """Exact CNF log-prob via the probability-flow ODE (ref `:434`).
+
+        Multiple observation rows are iid trials: the factorization
+        ``sum_i log p(theta|x_i) - (N-1) log p(theta)`` (up to the evidence
+        constant; ref `vector_field_potential.py:168-182`)."""
         theta = ensure_theta_batched(theta)
         x = self._x_else_default_x(x)
-        node = self.potential_fn.neural_ode(x[:1])
-        lp = node.log_prob(theta)
+        if x.shape[0] > 1:
+            lp = sum(
+                self.potential_fn.neural_ode(x[i : i + 1]).log_prob(theta)
+                for i in range(x.shape[0])
+            )
+            lp = lp - (x.shape[0] - 1) * self.prior.log_prob(theta)
+        else:
+            node = self.potential_fn.neural_ode(x[:1])
+            lp = node.log_prob(theta)
         lp = jnp.where(within_support(self.prior, theta), lp, -jnp.inf)
         return lp
 

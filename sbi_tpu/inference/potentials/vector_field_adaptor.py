@@ -306,16 +306,110 @@ def universal_guidance(score_fn, est, prior, guidance_fn=None,
 
 @register_guidance("interval")
 def interval_guidance(score_fn, est, prior, low=None, high=None,
-                      strength: float = 10.0):
-    """Push samples toward a box via a smooth barrier gradient."""
+                      lower_bound=None, upper_bound=None,
+                      scale_factor: float = 0.5, strength: float = 1.0):
+    """Constrain samples to ``[lower_bound, upper_bound]`` via a log-sigmoid
+    barrier on the Tweedie-denoised estimate whose slope sharpens as t -> 0
+    (ref ``IntervalGuidance``/`vector_field_adaptor.py:364-460`: barrier
+    scale = scale_factor / (m_t^2 std_t^2) — soft early in the reverse SDE,
+    effectively hard at data time).
+
+    Bounds are given in RAW theta space (ref config uses
+    ``lower_bound``/``upper_bound``; ``low``/``high`` are aliases) and
+    mapped into the estimator's z-space."""
+    low = lower_bound if low is None else low
+    high = upper_bound if high is None else high
+    if low is None and high is None:
+        raise ValueError("interval guidance needs lower_bound or upper_bound")
+    tr = est.input_transform
+    t_scale = getattr(tr, "scale", None)
+    t_loc = getattr(tr, "loc", None)
+
+    def to_z(b):
+        b = jnp.asarray(b, jnp.float32)
+        if t_scale is None or t_loc is None:
+            return b
+        return (b - t_loc) / t_scale
+
+    low_z = None if low is None else to_z(low)
+    high_z = None if high is None else to_z(high)
 
     def guided(z, t):
+        tb = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (z.shape[0],))
         s = score_fn(z, t)
-        if low is not None:
-            s = s + strength * jax.nn.relu(low - z)
-        if high is not None:
-            s = s - strength * jax.nn.relu(z - high)
-        return s
+        m = est.mean_t_fn(tb)[:, None]
+        sig2 = (est.std_fn(tb)[:, None]) ** 2
+        # Floor the sharpening at sigma^2 ~ 1e-3: an unbounded slope near
+        # t -> 0 makes the Euler-Maruyama dynamics oscillate when most of
+        # the posterior mass violates the bound (one-sided constraints).
+        sc = scale_factor / (m**2 * sig2 + 1e-3)
+
+        def barrier(zz):
+            d = (zz + sig2 * score_fn(zz, t)) / jnp.clip(m, 1e-6)
+            out = 0.0
+            if low_z is not None:
+                out = out + jax.nn.log_sigmoid(sc * (d - low_z)).sum()
+            if high_z is not None:
+                out = out + jax.nn.log_sigmoid(-sc * (d - high_z)).sum()
+            return out
+
+        g = jax.grad(barrier)(z)
+        # clip the guidance term (standard guided-diffusion stabilization)
+        g = jnp.clip(g, -100.0, 100.0)
+        return s + strength * g
+
+    return guided
+
+
+@register_guidance("affine_classifier_free")
+def affine_classifier_free_guidance(score_fn, est, prior, prior_scale=1.0,
+                                    prior_shift=0.0, likelihood_scale=1.0,
+                                    likelihood_shift=0.0):
+    """Affine classifier-free guidance (ref ``AffineClassifierFreeGuidance``,
+    `vector_field_adaptor.py:169-265`): decompose the posterior score into
+    diffused-prior score + likelihood score, apply independent affine
+    transforms to each, recombine. ``likelihood_scale>1`` tempers (sharpens)
+    the likelihood; ``<1`` flattens it."""
+    if prior is None:
+        raise ValueError(
+            "affine_classifier_free guidance requires a prior."
+        )
+
+    def guided(z, t):
+        tb = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (z.shape[0],))
+        s = score_fn(z, t)
+        ps = _diffused_prior_score(prior, est, z, tb)
+        ll = s - ps
+        return (likelihood_scale * ll + likelihood_shift
+                + prior_scale * ps + prior_shift)
+
+    return guided
+
+
+@register_guidance("prior_guide")
+def prior_guide(score_fn, est, prior, train_prior=None, test_prior=None,
+                K: int = 1, covariance_type: str = "diag", **_unused):
+    """Prior replacement at sampling time (ref ``PriorGuide``,
+    `vector_field_adaptor.py:505-640`): sample from the posterior the model
+    WOULD have learned under ``test_prior`` instead of the training prior —
+    guided score = s(z,t) - score_t(train_prior) + score_t(test_prior).
+
+    The reference fits a K-component GMM to the prior ratio and pushes it
+    through the backward kernel; here the diffused prior scores are computed
+    analytically for Gaussian priors (exact — the case the reference's GMM
+    approximates) and via the time-0 autodiff score for other priors
+    (documented approximation; ``K``/``covariance_type`` are accepted for
+    API compatibility)."""
+    if test_prior is None:
+        raise ValueError("prior_guide needs test_prior (and optionally "
+                         "train_prior; defaults to the posterior's prior).")
+    tp = prior if train_prior is None else train_prior
+
+    def guided(z, t):
+        tb = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (z.shape[0],))
+        s = score_fn(z, t)
+        return (s - _diffused_prior_score(tp, est, z, tb)
+                + _diffused_prior_score(test_prior, est, z, tb))
 
     return guided
 
@@ -324,3 +418,37 @@ def build_iid_score_fn(est, prior, xs: Array, method: str = "auto_gauss"):
     """Compose an iid-observation score fn in z-space from raw observations."""
     xs_z = est._embed_condition(jnp.atleast_2d(jnp.asarray(xs, jnp.float32)))
     return get_iid_method(method)(est, est.params, prior, xs_z)
+
+
+def build_single_obs_score_fn(est, x: Array):
+    """z-space score fn conditioned on ONE observation (guidance base when
+    there is no iid composition)."""
+    x_z = est._embed_condition(jnp.atleast_2d(jnp.asarray(x, jnp.float32)))
+
+    def score(z: Array, t: Array) -> Array:
+        tb = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (z.shape[0],))
+        cond = jnp.broadcast_to(x_z[0][None], (z.shape[0],) + x_z.shape[1:])
+        return est.score_z_fn(est.params, z, cond, tb)
+
+    return score
+
+
+def build_guided_score_fn(est, prior, x: Array, guidance_method: str,
+                          guidance_params=None, iid_method: str = "auto_gauss"):
+    """Public plumbing for ``posterior.sample(guidance_method=...)`` (ref
+    `vector_field_posterior.py:162,243`): base score = iid-composed when x
+    has multiple rows, single-observation otherwise; then wrapped by the
+    registered guidance."""
+    x = jnp.atleast_2d(jnp.asarray(x, jnp.float32))
+    if x.shape[0] > 1:
+        base = build_iid_score_fn(est, prior, x, method=iid_method)
+    else:
+        base = build_single_obs_score_fn(est, x)
+    if guidance_method not in GUIDANCE_METHODS:
+        raise NotImplementedError(
+            f"guidance_method='{guidance_method}' is not registered; "
+            f"available: {sorted(GUIDANCE_METHODS)}"
+        )
+    return GUIDANCE_METHODS[guidance_method](
+        base, est, prior, **(guidance_params or {})
+    )

@@ -250,6 +250,7 @@ def build_flow_matching_estimator(
     z_score_x="independent",
     hidden_features: int = 100,
     embedding_net=None,
+    gaussian_baseline: bool = False,
     key=None,
     **kwargs,
 ):
@@ -267,6 +268,7 @@ def build_flow_matching_estimator(
         condition_shape=tuple(batch_x.shape[1:]),
         input_transform=_transforms(batch_theta, z_score_theta),
         condition_transform=cond_t,
+        gaussian_baseline=gaussian_baseline,
     )
 
 

@@ -11,6 +11,12 @@ import os
 import sys
 import time
 
+# 06_scaling_tpu_mesh.md wants multiple devices; request 8 virtual CPU
+# devices before the backend initializes (harmless for the other tutorials).
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

@@ -25,6 +25,7 @@ DEEP_TUTORIALS = (
     "03_diagnostics_battery.md",
     "04_mcmc_and_potentials.md",
     "05_hodgkin_huxley.md",
+    "06_scaling_tpu_mesh.md",
 )
 
 

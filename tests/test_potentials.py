@@ -78,9 +78,10 @@ def test_guidance_registry():
         IID_METHODS,
     )
 
-    assert {"prior", "interval", "classifier_free", "universal"} <= set(
-        GUIDANCE_METHODS
-    )
+    assert {
+        "prior", "interval", "classifier_free", "universal",
+        "affine_classifier_free", "prior_guide",
+    } <= set(GUIDANCE_METHODS)
     assert {"fnpe", "gauss", "auto_gauss", "jac_gauss"} <= set(IID_METHODS)
 
 

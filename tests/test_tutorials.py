@@ -714,3 +714,42 @@ def test_example_decision_making_mnle():
     s = posterior.sample((50,), x=x_o, key=jax.random.PRNGKey(2),
                          num_chains=10, warmup_steps=30)
     assert s.shape == (50, 2) and bool(jnp.isfinite(s).all())
+
+
+def test_19b_score_guidance_and_iid_log_prob():
+    """19 extension: NPSE guidance (interval / tempering / prior swap) and
+    iid-composed log_prob run as documented."""
+    from sbi_tpu.inference import NPSE
+    from sbi_tpu.utils.distributions import MultivariateNormal
+
+    seed_all_backends(0)
+    prior = MultivariateNormal(jnp.zeros(D), covariance_matrix=jnp.eye(D))
+    theta = prior.sample(jax.random.PRNGKey(0), (300,))
+    x = _simulator(theta, jax.random.PRNGKey(1))
+    inference = NPSE(prior=prior, sde_type="vp")
+    inference.append_simulations(theta, x).train(**TRAIN_KW)
+    npse_posterior = inference.build_posterior()
+    x_o = jnp.zeros((1, D))
+    s = npse_posterior.sample(
+        (50,), x=x_o, key=jax.random.PRNGKey(2), steps=60,
+        guidance_method="interval",
+        guidance_params={"lower_bound": -1.0, "upper_bound": 1.0},
+    )
+    assert s.shape == (50, D) and bool(jnp.isfinite(s).all())
+    s = npse_posterior.sample(
+        (50,), x=x_o, key=jax.random.PRNGKey(3), steps=60,
+        guidance_method="affine_classifier_free",
+        guidance_params={"likelihood_scale": 1.5},
+    )
+    assert bool(jnp.isfinite(s).all())
+    new_prior = MultivariateNormal(0.2 + jnp.zeros(D),
+                                   covariance_matrix=0.5 * jnp.eye(D))
+    s = npse_posterior.sample(
+        (50,), x=x_o, key=jax.random.PRNGKey(4), steps=60,
+        guidance_method="prior_guide",
+        guidance_params={"test_prior": new_prior},
+    )
+    assert bool(jnp.isfinite(s).all())
+    x_iid = _simulator(jnp.zeros((3, D)), jax.random.PRNGKey(5))
+    lp = npse_posterior.log_prob(s[:10], x=x_iid)
+    assert lp.shape == (10,) and bool(jnp.isfinite(lp).all())

@@ -154,3 +154,38 @@ def test_05_hodgkin_huxley_deep(tmp_path):
         ],
     )
     assert ns["samples"].shape == (300, 2)
+
+
+@pytest.mark.slow
+def test_06_scaling_tpu_mesh_deep(tmp_path):
+    ns = _run(
+        "06_scaling_tpu_mesh.md",
+        tmp_path,
+        [
+            ("NUM_SIMULATIONS = 8000", "NUM_SIMULATIONS = 1600"),
+            ("stop_after_epochs=10, mesh=mesh,",
+             "stop_after_epochs=5, mesh=mesh,"),
+            ("stop_after_epochs=8,", "stop_after_epochs=4,"),
+            ("NUM_CHAINS = 16 * N_DEV", "NUM_CHAINS = 4 * N_DEV"),
+            ("warmup_steps=60", "warmup_steps=30"),
+            ("mcmc_posterior.sample(\n    (2000,)",
+             "mcmc_posterior.sample(\n    (400,)"),
+            ("assert mcmc_samples.shape == (2000, NUM_DIM)",
+             "assert mcmc_samples.shape == (400, NUM_DIM)"),
+            ("(jax.random.PRNGKey(3), (2000,))",
+             "(jax.random.PRNGKey(3), (400,))"),
+            ("< 0.60", "< 0.80"),
+            ("(500,), x=xs", "(150,), x=xs"),
+            ("batched.shape == (500,", "batched.shape == (150,"),
+            ("NUM_SBC_RUNS = 16 * N_DEV", "NUM_SBC_RUNS = 4 * N_DEV"),
+            ("num_posterior_samples=250", "num_posterior_samples=120"),
+            ("ensemble.sample((1000,)", "ensemble.sample((300,)"),
+            ("ens_samples.shape == (1000,", "ens_samples.shape == (300,"),
+        ],
+    )
+    import jax as _jax
+
+    n_dev = len(_jax.devices())
+    assert n_dev >= 2, "mesh tutorial needs the virtual-device conftest"
+    assert ns["ranks"].shape == (4 * n_dev, ns["NUM_DIM"])
+    assert ns["max_dev"] < 5e-3
