@@ -270,3 +270,32 @@ def test_fmpe_gaussian_baseline_trains():
         X_O, SHIFT, COV, jnp.zeros(D), jnp.eye(D)
     ).sample(jax.random.PRNGKey(3), (500,))
     assert float(c2st(s, ref)) < 0.65
+
+
+@pytest.mark.parametrize("trainer_kind", ["fmpe", "npse"])
+@pytest.mark.parametrize("net", ["mlp", "ada_mlp", "transformer"])
+def test_vf_inference_with_different_models(trainer_kind, net):
+    """Ref `test_vfinference_with_different_models` (`:216-252`): every VF
+    net architecture trains and samples through both trainer families."""
+    from sbi_tpu.inference import FMPE, NPSE
+    from sbi_tpu.neural_nets.factory import posterior_flow_nn, posterior_score_nn
+
+    seed_all_backends(0)
+    prior = MultivariateNormal(jnp.zeros(D), covariance_matrix=jnp.eye(D))
+    theta = prior.sample(jax.random.PRNGKey(0), (600,))
+    x = linear_gaussian(theta, SHIFT, COV, key=jax.random.PRNGKey(1))
+    if trainer_kind == "fmpe":
+        inf = FMPE(prior=prior,
+                   density_estimator=posterior_flow_nn(net, hidden_features=32))
+    else:
+        inf = NPSE(prior=prior,
+                   density_estimator=posterior_score_nn(net, sde_type="vp",
+                                                        hidden_features=32))
+    inf.append_simulations(theta, x).train(
+        training_batch_size=100, max_num_epochs=8, stop_after_epochs=8
+    )
+    post = inf.build_posterior()
+    s = post.sample((64,), x=X_O, key=jax.random.PRNGKey(2), steps=60)
+    assert s.shape == (64, D) and bool(jnp.isfinite(s).all())
+    lp = post.log_prob(s[:8], x=X_O)
+    assert bool(jnp.isfinite(lp).all())
